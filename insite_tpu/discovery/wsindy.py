@@ -1,0 +1,120 @@
+"""Weak-form SINDy (A-WSINDy): integrate the candidate library against
+compactly-supported test functions so no derivative estimate is needed.
+
+Reference uses pysindy's WeakPDELibrary (K=100 random subdomains, polynomial
+test functions) + SR3(l1, normalize_columns) (sindy.py:218-271; EQ_4 only —
+run.py:100-102 skips wsindy elsewhere).  TPU-native version: the K window
+integrals for *every trajectory at once* are two einsum contractions against
+precomputed quadrature weights; SR3 is a fixed-iteration prox loop.
+
+Weak form on window [a, b] with phi(a)=phi(b)=0:
+    \int phi(t) x'(t) dt = -\int phi'(t) x(t) dt
+so each (trajectory, window) pair contributes one linear equation
+    -<phi', x> = sum_j c_j <phi, theta_j(x)>.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _test_functions(n_windows: int, window_len: int, t_len: int, seed=0,
+                    p: int = 4):
+    """phi and phi' sampled on the grid for K windows placed (deterministic
+    rng) over [0, t_len).  Returns (starts [K], phi [K, w], dphi [K, w]) in
+    grid units; scale dphi by 1/dt outside."""
+    rng = np.random.RandomState(seed)
+    starts = rng.randint(0, max(t_len - window_len, 1), size=n_windows)
+    s = np.linspace(-1.0, 1.0, window_len)
+    phi = (1 - s ** 2) ** p
+    dphi_ds = -2 * p * s * (1 - s ** 2) ** (p - 1)
+    # d/dt = d/ds * ds/dt, ds/dt = 2/(window_len-1 grid steps)
+    scale = 2.0 / (window_len - 1)
+    phi_k = np.broadcast_to(phi, (n_windows, window_len))
+    dphi_k = np.broadcast_to(dphi_ds * scale, (n_windows, window_len))
+    return starts, phi_k, dphi_k
+
+
+def weak_sindy_fit(volumes, statics, lengths, library, dt,
+                   threshold: float, n_windows: int = 100,
+                   window_len: int = 20, sr3_iters: int = 1000,
+                   trajectory_mask=None, seed: int = 0):
+    """Fit coefficients by weak-form regression + SR3-l1.
+
+    volumes: [B, T] padded; statics: [B, S]; lengths: [B] valid lengths.
+    trajectory_mask: [B] bool — which trajectories feed this arm's system.
+    Returns coefficients [F].
+    """
+    B, T = volumes.shape
+    window_len = min(window_len, T)
+    starts_np, phi_np, dphi_np = _test_functions(n_windows, window_len, T,
+                                                 seed=seed)
+    starts = jnp.asarray(starts_np)
+    phi = jnp.asarray(phi_np, volumes.dtype)
+    dphi = jnp.asarray(dphi_np, volumes.dtype) / dt
+
+    # windows fully inside the valid region only
+    ok_win = (starts[None, :] + window_len) <= \
+        jnp.asarray(lengths)[:, None]                    # [B, K]
+    if trajectory_mask is not None:
+        ok_win = ok_win & jnp.asarray(trajectory_mask)[:, None]
+
+    idx = starts[:, None] + jnp.arange(window_len)[None, :]   # [K, w]
+    x_win = volumes[:, idx]                                   # [B, K, w]
+    X = jnp.concatenate(
+        [x_win[..., None],
+         jnp.broadcast_to(statics[:, None, None, :],
+                          (B, n_windows, window_len, statics.shape[-1]))],
+        axis=-1)
+    theta = library(X)                                        # [B, K, w, F]
+
+    # quadrature: trapezoid with uniform dt
+    quad = jnp.ones(window_len, volumes.dtype).at[0].set(0.5).at[-1].set(0.5)
+    lhs = -jnp.einsum('bkw,kw,w->bk', x_win, dphi, quad) * dt
+    rhs = jnp.einsum('bkwf,kw,w->bkf', theta, phi, quad) * dt
+
+    w = ok_win.reshape(-1).astype(volumes.dtype)
+    A = rhs.reshape(-1, rhs.shape[-1])
+    b = lhs.reshape(-1)
+    return sr3_l1(A, b, w, threshold, max_iter=sr3_iters)
+
+
+@partial(jax.jit, static_argnames=('max_iter',))
+def sr3_l1(A, b, sample_weight, threshold, nu: float = 1.0,
+           max_iter: int = 1000):
+    """SR3 with l1 relax-and-split (pysindy SR3(thresholder='l1',
+    normalize_columns=True) semantics): minimise
+    0.5||b - Aw||^2 + threshold*|u|_1 + (0.5/nu)||w - u||^2."""
+    wgt = sample_weight
+    Aw = A * wgt[:, None]
+    # column normalisation (pysindy normalize_columns=True)
+    norms = jnp.sqrt(jnp.sum(Aw * Aw, axis=0))
+    norms = jnp.where(norms > 0, norms, 1.0)
+    An = Aw / norms[None, :]
+    bw = b * wgt
+    G = An.T @ An
+    rhs0 = An.T @ bw
+    F = A.shape[1]
+    H = G + (1.0 / nu) * jnp.eye(F, dtype=A.dtype)
+    cho = jax.scipy.linalg.cho_factor(H)
+
+    def body(u, _):
+        w = jax.scipy.linalg.cho_solve(cho, rhs0 + u / nu)
+        u_new = jnp.sign(w) * jnp.maximum(jnp.abs(w) - threshold * nu, 0.0)
+        return u_new, None
+
+    u0 = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(G + 1e-10 * jnp.eye(F, dtype=A.dtype)),
+        rhs0)
+    u, _ = lax.scan(body, u0, None, length=max_iter)
+    # unbias on the support, then undo column scaling
+    support = jnp.abs(u) > 1e-12
+    m = support.astype(A.dtype)
+    Gm = G * jnp.outer(m, m) + jnp.diag(1.0 - m) + 1e-12 * jnp.eye(F)
+    coef = jnp.linalg.solve(Gm, rhs0 * m)
+    return jnp.where(support, coef, 0.0) / norms

@@ -1,0 +1,458 @@
+"""SINDy / INSITE / WSINDy estimators, TPU-native.
+
+Re-design of the reference SINDY model (src/models/sindy.py:57-857):
+
+- Discovery: per-treatment-arm STLSQ over a polynomial candidate library
+  (sindy.py:184-215), expressed as masked-ridge solves on a feature tensor
+  built for the *whole padded cohort at once* — the ragged per-patient
+  trajectory splitting of `process_dataset_into_de_format`
+  (pkpd/utils.py:523-672) becomes sample masks, not Python loops.
+- The discovered model is ``(coefs[A, F], PolynomialLibrary)``; no
+  sympy round-trip (the reference needs one only because pysindy returns
+  strings, pkpd/utils.py:372-397).
+- Prediction: one batched `lax.scan` Euler rollout over every evaluation row
+  simultaneously (vs. reference jit(vmap(scan)) per call, sindy.py:413-429).
+- INSITE (sindy.py:433-715): per-row BFGS over sparsity-masked coefficients
+  with proximal penalty lam*||c - c_global||^2, normalised by 2.5x the
+  global model's prefix MSE — `vmap`-ed across all rows and shardable over a
+  device mesh on the batch axis (replaces the reference's host-spoofed
+  `jax.pmap` + pad hack, sindy.py:668-699,810-841).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from time import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.scipy.optimize import minimize
+
+from insite_tpu.core.constants import STANDARD_DT, STEPS_FOR_DT
+from insite_tpu.discovery.differentiate import (finite_difference,
+                                                smoothed_finite_difference)
+from insite_tpu.discovery.library import PolynomialLibrary
+from insite_tpu.discovery.stlsq import stlsq
+from insite_tpu.models.base import CausalEstimator
+
+
+@dataclass
+class SINDyConfig:
+    """Hyperparameters (reference: config/backbone/{sindy,insite,wsindy}.yaml
+    + per-dataset threshold/lam table in config/config.yaml:17-28)."""
+
+    dataset_name: str = 'EQ_4_A'
+    sindy_threshold: float = 0.1
+    sindy_alpha: float = 0.5
+    lam: float = 10.0
+    insite: bool = False
+    wsindy: bool = False
+    joint_model: bool = False
+    smooth_input_data: bool = False
+    use_smoothed_finite_difference: bool = False
+    ablation_more_complex_basis_functions: bool = False
+    sindy_quantize: bool = False
+    sindy_quantize_global_model_round_to: int = 2
+    insite_val_error_threshold: float = 1e-4
+    projection_horizon: int = 5
+    treatment_mode: str = 'multiclass'
+    max_stlsq_iter: int = 20
+    # matches jax.scipy BFGS defaults the reference relies on (sindy.py:627)
+    bfgs_tol: float = 1e-12
+
+
+def _is_eq4(name: str) -> bool:
+    return 'EQ_4' in name
+
+
+class SINDyRegressor(CausalEstimator):
+    model_type = 'sindy_regressor'
+    tuning_criterion = 'rmse'
+
+    def __init__(self, cfg: SINDyConfig, dataset_collection=None):
+        self.cfg = cfg
+        self.collection = dataset_collection
+        self.dt = STANDARD_DT
+        self.global_equation_string = ''
+        self.coefs = None          # [A, F] global coefficients
+        self.library: Optional[PolynomialLibrary] = None
+        self.insite = cfg.insite
+        if dataset_collection is not None and \
+                not dataset_collection.processed_data_multi:
+            dataset_collection.process_data_multi(
+                include_continuous_treatment='EQ_5' in cfg.dataset_name)
+
+    # ------------------------------------------------------------------
+    # helpers
+
+    @property
+    def _n_arms(self) -> int:
+        if self.cfg.joint_model:
+            return 1
+        return 2 if _is_eq4(self.cfg.dataset_name) else 4
+
+    def _library_inputs(self, volumes, statics, arms_onehot=None):
+        """Stack library inputs [y, (treatments if joint,) statics...].
+
+        volumes: [..., T]; statics: [..., S]; returns [..., T, n_inputs].
+        Matches the reference's feature_names ordering x0,u0,u1,...
+        (sindy.py:278-322)."""
+        parts = [volumes[..., None]]
+        if self.cfg.joint_model and arms_onehot is not None:
+            parts.append(arms_onehot)
+        parts.append(jnp.broadcast_to(
+            statics[..., None, :],
+            volumes.shape + (statics.shape[-1],)))
+        return jnp.concatenate(parts, axis=-1)
+
+    def _unscaled_arrays(self, dataset):
+        sp = dataset.scaling_params
+        d = dataset.data
+        dim_out = 1
+        dim_static = d['static_features'].shape[-1]
+        prev = np.squeeze(d['prev_outputs'], -1) * sp['output_stds'] \
+            + sp['output_means']
+        statics = d['static_features'] * \
+            sp['inputs_stds'][dim_out:dim_out + dim_static] + \
+            sp['input_means'][dim_out:dim_out + dim_static]
+        treatments = d['current_treatments']
+        if self.cfg.treatment_mode == 'multiclass':
+            arms = np.argmax(treatments, axis=-1)
+        else:
+            arms = np.squeeze(treatments, -1).astype(np.int64) \
+                if treatments.shape[-1] == 1 else treatments
+        lengths = np.asarray(d['sequence_lengths']).astype(np.int64)
+        return prev, statics, arms, lengths
+
+    # ------------------------------------------------------------------
+    # fitting
+
+    def fit(self, train_f, val_f=None):
+        t0 = time()
+        cfg = self.cfg
+        prev, statics, arms, lengths = self._unscaled_arrays(train_f)
+        d = train_f.data
+        sp = train_f.scaling_params
+        # reconstructed trajectory incl. final observation
+        # (pkpd/utils.py:543-554)
+        unscaled_outputs = np.squeeze(d['unscaled_outputs'], -1)
+        volumes = np.concatenate([prev[:, :1], unscaled_outputs], axis=1)
+
+        if _is_eq4(cfg.dataset_name):
+            offset = 1          # sindy.py:149-159 sequence_lengths_offset
+            fd_order, smooth = 4, True
+        else:
+            offset = 0
+            fd_order, smooth = 1, cfg.use_smoothed_finite_difference
+
+        n_inputs = 1 + statics.shape[-1] + \
+            (arms.shape[-1] if cfg.joint_model and arms.ndim == 3 else
+             (1 if cfg.joint_model else 0))
+        degree_kw = (dict(degree=4, interaction_only=False)
+                     if cfg.ablation_more_complex_basis_functions
+                     else dict(degree=2, interaction_only=True))
+        self.library = PolynomialLibrary(n_inputs=n_inputs, **degree_kw)
+
+        if _is_eq4(cfg.dataset_name):
+            coefs = self._fit_eq4(volumes, statics, arms, lengths, offset,
+                                  fd_order, smooth)
+        else:
+            coefs = self._fit_tumor(volumes, statics, arms, lengths)
+        self.coefs = np.asarray(coefs)
+
+        names = self._input_names()
+        eq_strs = [self.library.pretty_equation(
+            self.coefs[a], names,
+            quantize_round_to=(cfg.sindy_quantize_global_model_round_to
+                               if cfg.sindy_quantize else None))
+            for a in range(self.coefs.shape[0])]
+        if cfg.joint_model:
+            self.global_equation_string = f'Joint Model: x_dot = {eq_strs[0]}'
+        else:
+            self.global_equation_string = ' | '.join(
+                f'Treatment {a}: x_dot = {s}' for a, s in enumerate(eq_strs))
+        self.fit_seconds = time() - t0
+        return self
+
+    def _input_names(self):
+        n_controls = self.library.n_inputs - 1
+        return ['x0'] + [f'u{i}' for i in range(n_controls)]
+
+    def _fit_eq4(self, volumes, statics, arms, lengths, offset, fd_order,
+                 smooth):
+        """EQ_4: each patient is one constant-arm trajectory of length
+        seq_len - offset (pkpd/utils.py:419-432)."""
+        cfg = self.cfg
+        vol_j = jnp.asarray(volumes)
+        eff_len = jnp.asarray(np.maximum(lengths - offset, 2))
+        if cfg.wsindy:
+            return self._fit_weak(vol_j, jnp.asarray(statics),
+                                  jnp.asarray(arms), eff_len)
+        if smooth:
+            xdot = smoothed_finite_difference(vol_j, eff_len, self.dt,
+                                              order=fd_order)
+        else:
+            xdot = finite_difference(vol_j, eff_len, self.dt, order=fd_order)
+
+        arm0 = jnp.asarray(arms[:, 0])       # constant arm per patient
+        sample_ok = (jnp.arange(vol_j.shape[1])[None, :] <
+                     eff_len[:, None])       # [B, T]
+        if cfg.joint_model:
+            arms_in = jnp.asarray(arms[:, :1]).astype(vol_j.dtype)
+            arms_in = jnp.broadcast_to(arms_in[:, :, None]
+                                       if arms_in.ndim == 2 else arms_in,
+                                       vol_j.shape + (1,))
+            X = jnp.concatenate([vol_j[..., None], arms_in,
+                                 jnp.broadcast_to(
+                                     jnp.asarray(statics)[:, None, :],
+                                     vol_j.shape + (statics.shape[-1],))],
+                                axis=-1)
+        else:
+            X = self._library_inputs(vol_j, jnp.asarray(statics))
+        theta = self.library(X)              # [B, T, F]
+
+        F = theta.shape[-1]
+        flat_theta = theta.reshape(-1, F)
+        flat_y = xdot.reshape(-1)
+        flat_ok = sample_ok.reshape(-1)
+        flat_arm = jnp.broadcast_to(arm0[:, None], vol_j.shape).reshape(-1)
+
+        coefs = []
+        for a in range(self._n_arms):
+            w = flat_ok & ((flat_arm == a) if not cfg.joint_model else True)
+            c, _ = stlsq(flat_theta, flat_y, cfg.sindy_threshold,
+                         cfg.sindy_alpha, sample_weight=w,
+                         max_iter=cfg.max_stlsq_iter)
+            coefs.append(c)
+        return jnp.stack(coefs)
+
+    def _fit_tumor(self, volumes, statics, arms, lengths):
+        """cancer_sim / EQ_5: trajectories are maximal constant-treatment
+        segments; the segment's samples (including its closing transition
+        step) train that arm's equation (pkpd/utils.py:433-462).
+
+        Vectorised: a sample at step j belongs to arm[j]'s system whenever
+        j < seq_len; forward difference (FiniteDifference order=1) pairs
+        (x_j, x_{j+1}) within the same arm segment.  The reference's
+        duplicated boundary element reproduces exactly this pairing.
+        """
+        cfg = self.cfg
+        vol_j = jnp.asarray(volumes)                    # [B, T]
+        B, T = vol_j.shape
+        arms_idx = jnp.asarray(arms)                    # [B, T-1]
+        # forward difference over each step (order=1 stencil [-1, 1]/dt)
+        xdot = (vol_j[:, 1:] - vol_j[:, :-1]) / self.dt   # deriv at j
+        sample_ok = (jnp.arange(T - 1)[None, :] <
+                     jnp.asarray(lengths)[:, None])
+        if cfg.joint_model:
+            onehot = jax.nn.one_hot(arms_idx, 2, dtype=vol_j.dtype) \
+                if arms_idx.ndim == 2 else arms_idx
+            # joint tumor model uses the raw (chemo, radio) binary labels
+            # (sindy.py:317-322)
+            X = jnp.concatenate(
+                [vol_j[:, :-1, None], onehot,
+                 jnp.broadcast_to(jnp.asarray(statics)[:, None, :],
+                                  (B, T - 1, statics.shape[-1]))], axis=-1)
+        else:
+            X = self._library_inputs(vol_j[:, :-1], jnp.asarray(statics))
+        theta = self.library(X)
+        F = theta.shape[-1]
+        flat_theta = theta.reshape(-1, F)
+        flat_y = xdot.reshape(-1)
+        flat_ok = sample_ok.reshape(-1)
+        flat_arm = arms_idx.reshape(-1) if arms_idx.ndim == 2 else None
+
+        coefs = []
+        for a in range(self._n_arms):
+            w = flat_ok if cfg.joint_model else \
+                (flat_ok & (flat_arm == a))
+            c, _ = stlsq(flat_theta, flat_y, cfg.sindy_threshold,
+                         cfg.sindy_alpha, sample_weight=w,
+                         max_iter=cfg.max_stlsq_iter)
+            coefs.append(c)
+        return jnp.stack(coefs)
+
+    def _fit_weak(self, volumes, statics, arms, eff_len):
+        from insite_tpu.discovery.wsindy import weak_sindy_fit
+        cfg = self.cfg
+        coefs = []
+        arm0 = arms[:, 0]
+        for a in range(self._n_arms):
+            sel = None if cfg.joint_model else (arm0 == a)
+            c = weak_sindy_fit(volumes, statics, eff_len, self.library,
+                               self.dt, threshold=cfg.sindy_threshold,
+                               trajectory_mask=sel)
+            coefs.append(c)
+        return jnp.stack(coefs)
+
+    # ------------------------------------------------------------------
+    # prediction
+
+    def get_predictions(self, dataset) -> np.ndarray:
+        if not self.insite:
+            preds = self._global_rollout(dataset)
+        else:
+            preds = self._fine_tuned_rollout(dataset, projection_horizon=1)
+        preds = np.asarray(preds)
+        assert not np.any(np.isnan(preds)), 'Predictions contain NaN'
+        return preds
+
+    def get_autoregressive_predictions(self, dataset) -> np.ndarray:
+        ph = self.cfg.projection_horizon
+        if not self.insite:
+            preds = self._global_rollout(dataset)
+        else:
+            preds = self._fine_tuned_rollout(dataset, projection_horizon=ph)
+        preds = np.asarray(preds)
+        lengths = np.asarray(dataset.data['sequence_lengths']).astype(int)
+        lower = np.maximum(1, lengths - ph)
+        win = lower[:, None] + np.arange(ph)[None, :]
+        return preds[np.arange(preds.shape[0])[:, None], win]
+
+    def _rollout_args(self, dataset):
+        prev, statics, arms, lengths = self._unscaled_arrays(dataset)
+        return (jnp.asarray(prev), jnp.asarray(statics), jnp.asarray(arms),
+                jnp.asarray(lengths))
+
+    def _global_rollout(self, dataset):
+        prev, statics, arms, lengths = self._rollout_args(dataset)
+        coefs = jnp.asarray(self.coefs)
+        preds = batched_rollout(self.library, coefs[None], prev[:, 0],
+                                statics, arms, self.dt,
+                                joint=self.cfg.joint_model,
+                                shared_coefs=True)
+        sp = dataset.scaling_params
+        return ((preds - sp['output_means']) / sp['output_stds'])[..., None]
+
+    def _fine_tuned_rollout(self, dataset, projection_horizon: int):
+        cfg = self.cfg
+        prev, statics, arms, lengths = self._rollout_args(dataset)
+        if cfg.smooth_input_data:
+            from insite_tpu.discovery.differentiate import savgol_smooth
+            prev = savgol_smooth(prev, lengths)
+        coefs = jnp.asarray(self.coefs)
+        preds = insite_finetune_predict(
+            self.library, coefs, prev, statics, arms, lengths,
+            self.dt, lam=cfg.lam, projection_horizon=projection_horizon,
+            joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol)
+        sp = dataset.scaling_params
+        preds = (preds - sp['output_means']) / sp['output_stds']
+        preds = np.asarray(preds)[..., None]
+        assert not np.any(np.isnan(preds) | np.isinf(preds))
+        return preds
+
+
+# ---------------------------------------------------------------------------
+# pure rollout / fine-tuning kernels
+
+
+def _dy(library, coefs_sel, y, statics, arm_onehot, joint):
+    """Vector field of the discovered model: Theta([y, u]) . c, batched.
+
+    y: [B]; statics: [B, S]; coefs_sel: [B, F] (already arm-selected);
+    arm_onehot: [B, A_in] treatment inputs for the joint model."""
+    parts = [y[..., None]]
+    if joint and arm_onehot is not None:
+        parts.append(arm_onehot)
+    parts.append(statics)
+    X = jnp.concatenate(parts, axis=-1)
+    theta = library(X)                         # [B, F]
+    return jnp.sum(theta * coefs_sel, axis=-1)
+
+
+@partial(jax.jit, static_argnames=('library', 'joint', 'shared_coefs'))
+def batched_rollout(library, coefs, y0, statics, arms, dt, joint=False,
+                    shared_coefs=False):
+    """Autoregressive Euler rollout of the discovered model over the whole
+    batch: returns [B, T] predictions of y[1..T].
+
+    coefs: [1, A, F] (shared_coefs) or [B, A, F] per-row fine-tuned.
+    arms: [B, T] integer arm per step (multiclass) or [B, T, A_in] labels
+    (joint/multilabel).
+    """
+    B = y0.shape[0]
+    coefs_b = jnp.broadcast_to(coefs, (B,) + coefs.shape[1:]) \
+        if shared_coefs else coefs
+
+    def step(y, arm_t):
+        if joint:
+            c = coefs_b[:, 0, :]
+            onehot = arm_t.astype(y.dtype)
+            if onehot.ndim == 1:
+                onehot = onehot[:, None]
+        else:
+            c = jnp.take_along_axis(
+                coefs_b, arm_t[:, None, None].astype(jnp.int32),
+                axis=1)[:, 0, :]
+            onehot = None
+        h = dt / STEPS_FOR_DT
+        for _ in range(STEPS_FOR_DT):
+            y = y + _dy(library, c, y, statics, onehot, joint) * h
+        return y, y
+
+    arms_t = jnp.moveaxis(arms, 1, 0)          # scan over time axis
+    _, ys = lax.scan(step, y0, arms_t)
+    return jnp.moveaxis(ys, 0, 1)              # [B, T]
+
+
+@partial(jax.jit,
+         static_argnames=('library', 'projection_horizon', 'joint'))
+def insite_finetune_predict(library, global_coefs, prev, statics, arms,
+                            lengths, dt, lam, projection_horizon: int,
+                            joint=False, bfgs_tol=1e-12):
+    """INSITE: per-row BFGS fine-tuning of the sparsity-masked coefficients,
+    then rollout with the personalised model (sindy.py:569-715).
+
+    Objective (f_to_min_func, sindy.py:781-794):
+        mse_prefix / (2.5 * mse_prefix@global) + lam * mean((c - c_g)^2)
+    where the prefix mask covers the first (seq_len - projection_horizon)
+    steps.  Rows with seq_len <= projection_horizon skip fine-tuning
+    (lax.cond at sindy.py:571-574); a failed line search falls back to the
+    global coefficients (res.status == 3 branch, sindy.py:628-631).
+    """
+    A, F = global_coefs.shape
+    sparse_mask = (jnp.abs(global_coefs) > 1e-3).astype(prev.dtype)
+    g_flat = global_coefs.reshape(-1)
+    T = prev.shape[1]
+
+    def row_objective_factory(prev_i, statics_i, arms_i, length_i):
+        prefix_mask = (jnp.arange(T - 1) <
+                       (length_i - projection_horizon)).astype(prev_i.dtype)
+
+        def rollout(coefs_af):
+            return batched_rollout(
+                library, coefs_af[None], prev_i[None, 0], statics_i[None],
+                arms_i[None], dt, joint=joint, shared_coefs=True)[0]
+
+        def prefix_mse(coefs_flat):
+            c = (coefs_flat.reshape(A, F)) * sparse_mask
+            preds = rollout(c)
+            se = ((prev_i[1:] - preds[:-1]) ** 2) * prefix_mask
+            return jnp.sum(se) / jnp.maximum(jnp.sum(prefix_mask), 1.0)
+
+        return rollout, prefix_mse
+
+    def finetune_row(prev_i, statics_i, arms_i, length_i):
+        rollout, prefix_mse = row_objective_factory(prev_i, statics_i,
+                                                    arms_i, length_i)
+        mse0 = prefix_mse(g_flat)
+        norm_const = mse0 * 2.5
+
+        def objective(coefs_flat):
+            reg = lam * jnp.mean((g_flat - coefs_flat) ** 2)
+            return prefix_mse(coefs_flat) / norm_const + reg
+
+        def do_finetune(_):
+            res = minimize(objective, g_flat, method='BFGS', tol=bfgs_tol)
+            c = jnp.where(res.status == 3, g_flat, res.x)
+            return c.reshape(A, F) * sparse_mask
+
+        coefs_i = lax.cond(length_i <= projection_horizon,
+                           lambda _: global_coefs, do_finetune, operand=None)
+        return rollout(coefs_i)
+
+    return jax.vmap(finetune_row)(prev, statics, arms, lengths)
