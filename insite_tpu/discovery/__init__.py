@@ -3,4 +3,4 @@ from insite_tpu.discovery.differentiate import (savgol_coeffs_matrix,
                                                 windowed_filter,
                                                 savgol_smooth,
                                                 finite_difference)
-from insite_tpu.discovery.stlsq import stlsq, masked_ridge
+from insite_tpu.discovery.stlsq import stlsq, stlsq_hostsolve, masked_ridge

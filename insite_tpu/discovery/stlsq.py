@@ -76,6 +76,68 @@ def stlsq(theta, y, threshold, alpha, sample_weight=None, max_iter: int = 20,
     return coefs, mask
 
 
+@partial(jax.jit)
+def _qr_reduce(theta, y, sample_weight):
+    """Device-side reduction of the regression problem: QR of the weighted
+    feature matrix.  Returns (R [F, F], Qᵀy [F]).
+
+    This is the f32-robust path: forming ΘᵀΘ directly in f32 destroys the
+    near-collinear directions of the polynomial library (u-columns of the
+    EQ_4 statics are 0.5±0.05 — the '1'/'u0'/'u1'/'u0 u1' block is nearly
+    rank one), while QR keeps the error at eps·cond(Θ).  The O(N·F²) work
+    runs on the MXU; only the F×F triangle leaves the device.
+    """
+    if sample_weight is not None:
+        w = jnp.sqrt(sample_weight.astype(theta.dtype))
+        theta = theta * w[:, None]
+        y = y * w
+    A = jnp.concatenate([theta, y[:, None]], axis=1)
+    R = jnp.linalg.qr(A, mode='r')
+    F = theta.shape[-1]
+    return R[:F, :F], R[:F, F]
+
+
+def stlsq_hostsolve(theta, y, threshold, alpha, sample_weight=None,
+                    max_iter: int = 100, initial_mask=None,
+                    unbias: bool = True):
+    """Global-discovery STLSQ: the N-row reduction happens on device (QR),
+    the tiny F×F thresholding iteration runs on the host in float64 —
+    numerically equivalent to the reference's sklearn f64 path
+    (pysindy STLSQ + unbias, pkpd/utils.py:96-335) regardless of the device
+    compute dtype.  Returns numpy (coefs [F], mask [F])."""
+    import numpy as np
+    R, qty = _qr_reduce(jnp.asarray(theta), jnp.asarray(y),
+                        None if sample_weight is None
+                        else jnp.asarray(sample_weight))
+    R = np.asarray(R, np.float64)
+    qty = np.asarray(qty, np.float64)
+    F = R.shape[0]
+    gram = R.T @ R
+    rhs = R.T @ qty
+
+    def solve(mask, a):
+        m = mask.astype(np.float64)
+        A = gram * np.outer(m, m) + np.diag(a * m + (1.0 - m))
+        return np.linalg.solve(A, rhs * m)
+
+    mask = (np.ones(F, bool) if initial_mask is None
+            else np.asarray(initial_mask, bool))
+    coefs = np.zeros(F)
+    for _ in range(max_iter):
+        if not mask.any():
+            break
+        c = solve(mask, alpha)
+        new_mask = (np.abs(c) >= threshold) & mask
+        coefs = np.where(new_mask, c, 0.0)
+        if (new_mask == mask).all():
+            mask = new_mask
+            break
+        mask = new_mask
+    if unbias and mask.any():
+        coefs = np.where(mask, solve(mask, 0.0), 0.0)
+    return coefs, mask
+
+
 def masked_ridge(theta, y, alpha, mask=None, sample_weight=None):
     """One masked ridge solve (building block, exposed for tests)."""
     dtype = theta.dtype

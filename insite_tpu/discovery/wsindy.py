@@ -8,7 +8,7 @@ integrals for *every trajectory at once* are two einsum contractions against
 precomputed quadrature weights; SR3 is a fixed-iteration prox loop.
 
 Weak form on window [a, b] with phi(a)=phi(b)=0:
-    \int phi(t) x'(t) dt = -\int phi'(t) x(t) dt
+    integral(phi * x') = -integral(phi' * x)
 so each (trajectory, window) pair contributes one linear equation
     -<phi', x> = sum_j c_j <phi, theta_j(x)>.
 """

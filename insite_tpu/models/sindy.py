@@ -36,7 +36,7 @@ from insite_tpu.core.constants import STANDARD_DT, STEPS_FOR_DT
 from insite_tpu.discovery.differentiate import (finite_difference,
                                                 smoothed_finite_difference)
 from insite_tpu.discovery.library import PolynomialLibrary
-from insite_tpu.discovery.stlsq import stlsq
+from insite_tpu.discovery.stlsq import stlsq, stlsq_hostsolve
 from insite_tpu.models.base import CausalEstimator
 
 
@@ -61,8 +61,11 @@ class SINDyConfig:
     projection_horizon: int = 5
     treatment_mode: str = 'multiclass'
     max_stlsq_iter: int = 20
-    # matches jax.scipy BFGS defaults the reference relies on (sindy.py:627)
+    # matches jax.scipy BFGS defaults the reference relies on (sindy.py:627);
+    # on f32 TPU the 1e-12 tolerance is unreachable, so cap the iterations
+    # (convergence is typically < 30 iters; failures fall back to global)
     bfgs_tol: float = 1e-12
+    bfgs_maxiter: Optional[int] = None
 
 
 def _is_eq4(name: str) -> bool:
@@ -73,9 +76,10 @@ class SINDyRegressor(CausalEstimator):
     model_type = 'sindy_regressor'
     tuning_criterion = 'rmse'
 
-    def __init__(self, cfg: SINDyConfig, dataset_collection=None):
+    def __init__(self, cfg: SINDyConfig, dataset_collection=None, mesh=None):
         self.cfg = cfg
         self.collection = dataset_collection
+        self.mesh = mesh            # optional 1-D batch mesh for sharded eval
         self.dt = STANDARD_DT
         self.global_equation_string = ''
         self.coefs = None          # [A, F] global coefficients
@@ -224,10 +228,9 @@ class SINDyRegressor(CausalEstimator):
         coefs = []
         for a in range(self._n_arms):
             w = flat_ok & ((flat_arm == a) if not cfg.joint_model else True)
-            c, _ = stlsq(flat_theta, flat_y, cfg.sindy_threshold,
-                         cfg.sindy_alpha, sample_weight=w,
-                         max_iter=cfg.max_stlsq_iter)
-            coefs.append(c)
+            c, _ = stlsq_hostsolve(flat_theta, flat_y, cfg.sindy_threshold,
+                                   cfg.sindy_alpha, sample_weight=w)
+            coefs.append(jnp.asarray(c, flat_theta.dtype))
         return jnp.stack(coefs)
 
     def _fit_tumor(self, volumes, statics, arms, lengths):
@@ -270,10 +273,9 @@ class SINDyRegressor(CausalEstimator):
         for a in range(self._n_arms):
             w = flat_ok if cfg.joint_model else \
                 (flat_ok & (flat_arm == a))
-            c, _ = stlsq(flat_theta, flat_y, cfg.sindy_threshold,
-                         cfg.sindy_alpha, sample_weight=w,
-                         max_iter=cfg.max_stlsq_iter)
-            coefs.append(c)
+            c, _ = stlsq_hostsolve(flat_theta, flat_y, cfg.sindy_threshold,
+                                   cfg.sindy_alpha, sample_weight=w)
+            coefs.append(jnp.asarray(c, flat_theta.dtype))
         return jnp.stack(coefs)
 
     def _fit_weak(self, volumes, statics, arms, eff_len):
@@ -315,8 +317,14 @@ class SINDyRegressor(CausalEstimator):
 
     def _rollout_args(self, dataset):
         prev, statics, arms, lengths = self._unscaled_arrays(dataset)
-        return (jnp.asarray(prev), jnp.asarray(statics), jnp.asarray(arms),
+        args = (jnp.asarray(prev), jnp.asarray(statics), jnp.asarray(arms),
                 jnp.asarray(lengths))
+        if self.mesh is not None:
+            from insite_tpu.parallel import shard_rows
+            args, self._n_rows = shard_rows(args, self.mesh)
+        else:
+            self._n_rows = args[0].shape[0]
+        return args
 
     def _global_rollout(self, dataset):
         prev, statics, arms, lengths = self._rollout_args(dataset)
@@ -324,7 +332,7 @@ class SINDyRegressor(CausalEstimator):
         preds = batched_rollout(self.library, coefs[None], prev[:, 0],
                                 statics, arms, self.dt,
                                 joint=self.cfg.joint_model,
-                                shared_coefs=True)
+                                shared_coefs=True)[:self._n_rows]
         sp = dataset.scaling_params
         return ((preds - sp['output_means']) / sp['output_stds'])[..., None]
 
@@ -338,7 +346,8 @@ class SINDyRegressor(CausalEstimator):
         preds = insite_finetune_predict(
             self.library, coefs, prev, statics, arms, lengths,
             self.dt, lam=cfg.lam, projection_horizon=projection_horizon,
-            joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol)
+            joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol,
+            bfgs_maxiter=cfg.bfgs_maxiter)[:self._n_rows]
         sp = dataset.scaling_params
         preds = (preds - sp['output_means']) / sp['output_stds']
         preds = np.asarray(preds)[..., None]
@@ -400,10 +409,11 @@ def batched_rollout(library, coefs, y0, statics, arms, dt, joint=False,
 
 
 @partial(jax.jit,
-         static_argnames=('library', 'projection_horizon', 'joint'))
+         static_argnames=('library', 'projection_horizon', 'joint',
+                          'bfgs_maxiter'))
 def insite_finetune_predict(library, global_coefs, prev, statics, arms,
                             lengths, dt, lam, projection_horizon: int,
-                            joint=False, bfgs_tol=1e-12):
+                            joint=False, bfgs_tol=1e-12, bfgs_maxiter=None):
     """INSITE: per-row BFGS fine-tuning of the sparsity-masked coefficients,
     then rollout with the personalised model (sindy.py:569-715).
 
@@ -447,7 +457,9 @@ def insite_finetune_predict(library, global_coefs, prev, statics, arms,
             return prefix_mse(coefs_flat) / norm_const + reg
 
         def do_finetune(_):
-            res = minimize(objective, g_flat, method='BFGS', tol=bfgs_tol)
+            opts = {} if bfgs_maxiter is None else {'maxiter': bfgs_maxiter}
+            res = minimize(objective, g_flat, method='BFGS', tol=bfgs_tol,
+                           options=opts)
             c = jnp.where(res.status == 3, g_flat, res.x)
             return c.reshape(A, F) * sparse_mask
 

@@ -43,6 +43,7 @@ from insite_tpu.core.constants import (
     RECOVERY_MULTIPLIER,
     STEPS_FOR_DT,
 )
+from insite_tpu.core.dtypes import default_float
 
 
 class Equation(IntEnum):
@@ -84,7 +85,8 @@ def _decay_factor(c, dt, substeps: int = STEPS_FOR_DT):
 
 def generate_params(num_patients: int, conf_coeff: float, window_size: int,
                     lag: int, key, equation: Equation,
-                    dtype=jnp.float64) -> dict:
+                    dtype=None) -> dict:
+    dtype = dtype or default_float()
     params = get_standard_params(num_patients, equation, key, dtype=dtype)
     params['sigmoid_intercept'] = MAX_VALUE / 2.0
     params['sigmoid_gamma'] = conf_coeff / MAX_VALUE
@@ -94,7 +96,8 @@ def generate_params(num_patients: int, conf_coeff: float, window_size: int,
 
 
 def get_standard_params(num_patients: int, equation: Equation, key,
-                        dtype=jnp.float64) -> dict:
+                        dtype=None) -> dict:
+    dtype = dtype or default_float()
     """Patient-specific constants for variants A (clean), B (+obs noise),
     C (params linear in observed statics), D (C + shared param noise),
     M (multimodal).  Split order matches pkpd_simulation.py:96-203."""
@@ -184,7 +187,8 @@ def _add_observation_noise(volumes, equation: Equation, params, key):
 # Factual simulation (pkpd_simulation.py:205-309)
 
 def simulate_factual(params, seq_length: int, key, equation: Equation,
-                     dtype=jnp.float64) -> dict:
+                     dtype=None) -> dict:
+    dtype = dtype or default_float()
     num_patients = params['initial_volumes'].shape[0]
 
     key, sub = random.split(key)
@@ -249,7 +253,8 @@ def _simulate_factual_core(params, treatment_rvs, recovery_rvs,
 
 def simulate_counterfactual_1_step(params, seq_length: int, key,
                                    equation: Equation,
-                                   dtype=jnp.float64) -> dict:
+                                   dtype=None) -> dict:
+    dtype = dtype or default_float()
     num_patients = params['initial_volumes'].shape[0]
 
     key, sub = random.split(key)
@@ -341,7 +346,8 @@ def simulate_counterfactuals_treatment_seq(params, seq_length: int,
                                            projection_horizon: int, key,
                                            equation: Equation,
                                            cf_seq_mode='sliding_treatment',
-                                           dtype=jnp.float64) -> dict:
+                                           dtype=None) -> dict:
+    dtype = dtype or default_float()
     assert cf_seq_mode in ('sliding_treatment', 'random_trajectories')
     num_patients = params['initial_volumes'].shape[0]
     ph = projection_horizon

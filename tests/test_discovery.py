@@ -1,0 +1,101 @@
+"""Discovery-stack unit tests: library ordering, savgol/FD parity with
+scipy, STLSQ recovery of known sparse dynamics."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.signal import savgol_filter
+
+from insite_tpu.discovery import (PolynomialLibrary, finite_difference,
+                                  savgol_smooth, stlsq)
+from insite_tpu.discovery.differentiate import smoothed_finite_difference
+
+
+def test_library_ordering_matches_pysindy():
+    lib = PolynomialLibrary(n_inputs=3, degree=2, interaction_only=True)
+    names = lib.feature_names(['x0', 'u0', 'u1'])
+    assert names == ['1', 'x0', 'u0', 'u1', 'x0 u0', 'x0 u1', 'u0 u1']
+    X = jnp.array([[2.0, 3.0, 5.0]])
+    theta = np.asarray(lib(X))[0]
+    np.testing.assert_allclose(theta, [1, 2, 3, 5, 6, 10, 15])
+
+
+def test_library_degree4_full():
+    lib = PolynomialLibrary(n_inputs=2, degree=4, interaction_only=False)
+    # sklearn count: C(n+d, d) = C(6,4) = 15
+    assert lib.n_features == 15
+    X = jnp.array([[2.0, 3.0]])
+    theta = np.asarray(lib(X))[0]
+    assert theta[0] == 1.0 and 16.0 in theta and 81.0 in theta  # x^4, y^4
+
+
+def test_savgol_matches_scipy_interp():
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 40).cumsum(axis=1)
+    lengths = np.array([40, 40, 17, 9])
+    ours = np.asarray(savgol_smooth(jnp.asarray(x), jnp.asarray(lengths)))
+    for i, L in enumerate(lengths):
+        ref = savgol_filter(x[i, :L], 5, 3, mode='interp')
+        np.testing.assert_allclose(ours[i, :L], ref, rtol=1e-9, atol=1e-9)
+
+
+def test_finite_difference_orders():
+    # a stencil of order+1 points is exact for polynomials of degree <= order
+    t = np.linspace(0, 3, 31)
+    dt = t[1] - t[0]
+    lengths = np.array([31])
+    for order, poly_deg in ((2, 2), (4, 4)):
+        x = (t ** poly_deg)[None, :]
+        d_true = poly_deg * t ** (poly_deg - 1)
+        ours = np.asarray(finite_difference(jnp.asarray(x),
+                                            jnp.asarray(lengths), dt,
+                                            order=order))[0]
+        np.testing.assert_allclose(ours, d_true, rtol=1e-8, atol=1e-8)
+    # order=1 forward difference semantics
+    x = (t ** 3 - 2 * t ** 2)[None, :]
+    ours1 = np.asarray(finite_difference(jnp.asarray(x),
+                                         jnp.asarray(lengths), dt,
+                                         order=1))[0]
+    fwd = (x[0, 1:] - x[0, :-1]) / dt
+    np.testing.assert_allclose(ours1[:-1], fwd, rtol=1e-12)
+
+
+def test_stlsq_recovers_sparse_linear_system():
+    rng = np.random.RandomState(1)
+    N, F = 2000, 7
+    theta = rng.randn(N, F)
+    true = np.array([0.0, -0.8, 0.0, 0.0, 0.5, 0.0, 0.0])
+    y = theta @ true + 1e-4 * rng.randn(N)
+    coefs, mask = stlsq(jnp.asarray(theta), jnp.asarray(y),
+                        threshold=0.1, alpha=0.05)
+    np.testing.assert_allclose(np.asarray(coefs), true, atol=1e-3)
+    assert np.asarray(mask).sum() == 2
+
+
+def test_stlsq_sample_weight_ignores_masked_rows():
+    rng = np.random.RandomState(2)
+    theta = rng.randn(100, 3)
+    y = theta @ np.array([1.0, 0.0, -2.0])
+    # poison the second half; weights must hide it
+    theta2 = np.concatenate([theta, rng.randn(100, 3) * 100])
+    y2 = np.concatenate([y, rng.randn(100) * 100])
+    w = np.concatenate([np.ones(100), np.zeros(100)])
+    coefs, _ = stlsq(jnp.asarray(theta2), jnp.asarray(y2), 0.1, 0.05,
+                     sample_weight=jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(coefs), [1.0, 0.0, -2.0],
+                               atol=1e-6)
+
+
+def test_smoothed_fd_on_noisy_decay():
+    # the EQ_4 discovery setting: recover d/dt of exp decay through noise
+    t = np.arange(59) / 6.0
+    x = 10 * np.exp(-0.5 * t)
+    rng = np.random.RandomState(3)
+    xn = (x + 0.01 * rng.randn(59))[None, :]
+    d = np.asarray(smoothed_finite_difference(jnp.asarray(xn),
+                                              jnp.asarray([59]), 1 / 6.0,
+                                              order=4))[0]
+    d_true = -0.5 * x
+    # interior points: savgol(5,3) + 5-point FD tracks the derivative to the
+    # noise floor; edges use one-sided windows and are a bit looser
+    assert np.abs(d[4:-4] - d_true[4:-4]).max() < 0.1
+    assert np.abs(d - d_true).max() < 0.5

@@ -1,0 +1,81 @@
+"""End-to-end EQ_4 pipeline tests: dataset collection -> SINDy discovery ->
+INSITE fine-tuning -> normalized masked RMSE, with accuracy gates anchored
+to the reference main table (BASELINE.md: A-SINDy EQ_4_D 1-step 0.160%,
+INSITE 0.0204%; small-cohort runs here use looser gates)."""
+
+import numpy as np
+import pytest
+
+from insite_tpu.data import PkpdDatasetCollection
+from insite_tpu.models.sindy import SINDyConfig, SINDyRegressor
+
+
+@pytest.fixture(scope='module')
+def collection():
+    return PkpdDatasetCollection(
+        conf_coeff=2.0, num_patients={'train': 200, 'val': 20, 'test': 4},
+        equation_str='EQ_4_D', seed=0)
+
+
+@pytest.fixture(scope='module')
+def sindy_model(collection):
+    cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                      sindy_alpha=0.5, lam=10.0, insite=False)
+    return SINDyRegressor(cfg, collection).fit(collection.train_f)
+
+
+def test_discovered_equation_structure(sindy_model):
+    # ground truth: dy/dt = -(u_a + const + shared noise) * y per arm ->
+    # only x0 and x0*u_a terms survive thresholding
+    coefs = sindy_model.coefs
+    assert coefs.shape == (2, 7)
+    names = sindy_model.library.feature_names(['x0', 'u0', 'u1'])
+    x0_u0 = names.index('x0 u0')
+    x0_u1 = names.index('x0 u1')
+    assert abs(coefs[0, x0_u0] + 1.0) < 0.1      # arm 0: -1.0 * x0*u0
+    assert abs(coefs[1, x0_u1] + 1.0) < 0.1      # arm 1: -1.0 * x0*u1
+    assert np.abs(coefs[:, 0]).max() < 1e-6      # no bias term
+
+
+def test_sindy_one_step_rmse(collection, sindy_model):
+    orig, all_, last = sindy_model.get_normalised_masked_rmse(
+        collection.test_cf_one_step, one_step_counterfactual=True)
+    assert orig < 0.5          # reference A-SINDy: 0.16 +- tiny
+    assert last < 0.5
+
+
+def test_sindy_n_step_rmse(collection, sindy_model):
+    rmses = sindy_model.get_normalised_n_step_rmses(
+        collection.test_cf_treatment_seq)
+    assert rmses.shape == (5,)
+    assert np.all(rmses < 0.5)  # reference: 0.148
+
+
+def test_insite_beats_global_sindy(collection, sindy_model):
+    cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                      sindy_alpha=0.5, lam=10.0, insite=True)
+    insite = SINDyRegressor(cfg, collection).fit(collection.train_f)
+    orig_i, _, last_i = insite.get_normalised_masked_rmse(
+        collection.test_cf_one_step, one_step_counterfactual=True)
+    orig_s, _, last_s = sindy_model.get_normalised_masked_rmse(
+        collection.test_cf_one_step, one_step_counterfactual=True)
+    assert orig_i < orig_s       # personalisation must help on EQ_4_D
+    assert orig_i < 0.08         # reference INSITE: 0.0204
+
+    rmses = insite.get_normalised_n_step_rmses(
+        collection.test_cf_treatment_seq)
+    assert np.all(rmses < 0.15)  # reference: <= 0.0465
+
+
+def test_equation_string_emitted(sindy_model):
+    s = sindy_model.global_equation_string
+    assert 'Treatment 0' in s and 'Treatment 1' in s and 'x0' in s
+
+
+def test_wsindy_runs_on_eq4(collection):
+    cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                      sindy_alpha=0.5, lam=10.0, wsindy=True)
+    m = SINDyRegressor(cfg, collection).fit(collection.train_f)
+    orig, all_, last = m.get_normalised_masked_rmse(
+        collection.test_cf_one_step, one_step_counterfactual=True)
+    assert orig < 1.0            # reference A-WSINDy: 0.102
