@@ -72,6 +72,67 @@ def _is_eq4(name: str) -> bool:
     return 'EQ_4' in name
 
 
+@partial(jax.jit, static_argnames=('library', 'joint', 'smooth', 'fd_order',
+                                   'dt'))
+def _eq4_design(vol_j, statics, arms01, eff_len, dt, library, joint,
+                smooth, fd_order):
+    """Single-dispatch EQ_4 design-matrix build: derivative estimate +
+    feature tensor + sample masks (per-op dispatch is expensive over a
+    remote TPU link)."""
+    if smooth:
+        xdot = smoothed_finite_difference(vol_j, eff_len, dt, order=fd_order)
+    else:
+        xdot = finite_difference(vol_j, eff_len, dt, order=fd_order)
+    sample_ok = (jnp.arange(vol_j.shape[1])[None, :] < eff_len[:, None])
+    if joint:
+        arms_in = jnp.broadcast_to(
+            arms01[:, :1].astype(vol_j.dtype)[:, :, None],
+            vol_j.shape + (1,))
+        X = jnp.concatenate(
+            [vol_j[..., None], arms_in,
+             jnp.broadcast_to(statics[:, None, :],
+                              vol_j.shape + (statics.shape[-1],))], axis=-1)
+    else:
+        X = jnp.concatenate(
+            [vol_j[..., None],
+             jnp.broadcast_to(statics[:, None, :],
+                              vol_j.shape + (statics.shape[-1],))], axis=-1)
+    theta = library(X)
+    F = theta.shape[-1]
+    arm0 = arms01[:, 0]
+    return (theta.reshape(-1, F), xdot.reshape(-1), sample_ok.reshape(-1),
+            jnp.broadcast_to(arm0[:, None], vol_j.shape).reshape(-1))
+
+
+@partial(jax.jit, static_argnames=('library', 'joint', 'dt'))
+def _tumor_design(vol_j, statics, arms_idx, lengths, library, joint, dt):
+    """Single-dispatch tumor-family design build (FiniteDifference
+    order=1 forward pairs within constant-treatment segments)."""
+    B, T = vol_j.shape
+    xdot = (vol_j[:, 1:] - vol_j[:, :-1]) / dt
+    sample_ok = (jnp.arange(T - 1)[None, :] < lengths[:, None])
+    if joint:
+        onehot = jax.nn.one_hot(arms_idx, 2, dtype=vol_j.dtype) \
+            if arms_idx.ndim == 2 else arms_idx
+        # joint tumor model uses the raw (chemo, radio) labels
+        # (sindy.py:317-322)
+        X = jnp.concatenate(
+            [vol_j[:, :-1, None], onehot,
+             jnp.broadcast_to(statics[:, None, :],
+                              (B, T - 1, statics.shape[-1]))], axis=-1)
+    else:
+        X = jnp.concatenate(
+            [vol_j[:, :-1, None],
+             jnp.broadcast_to(statics[:, None, :],
+                              (B, T - 1, statics.shape[-1]))], axis=-1)
+    theta = library(X)
+    F = theta.shape[-1]
+    flat_arm = arms_idx.reshape(-1) if arms_idx.ndim == 2 else \
+        jnp.zeros(B * (T - 1), jnp.int32)
+    return (theta.reshape(-1, F), xdot.reshape(-1), sample_ok.reshape(-1),
+            flat_arm)
+
+
 class SINDyRegressor(CausalEstimator):
     model_type = 'sindy_regressor'
     tuning_criterion = 'rmse'
@@ -196,34 +257,11 @@ class SINDyRegressor(CausalEstimator):
         if cfg.wsindy:
             return self._fit_weak(vol_j, jnp.asarray(statics),
                                   jnp.asarray(arms), eff_len)
-        if smooth:
-            xdot = smoothed_finite_difference(vol_j, eff_len, self.dt,
-                                              order=fd_order)
-        else:
-            xdot = finite_difference(vol_j, eff_len, self.dt, order=fd_order)
 
-        arm0 = jnp.asarray(arms[:, 0])       # constant arm per patient
-        sample_ok = (jnp.arange(vol_j.shape[1])[None, :] <
-                     eff_len[:, None])       # [B, T]
-        if cfg.joint_model:
-            arms_in = jnp.asarray(arms[:, :1]).astype(vol_j.dtype)
-            arms_in = jnp.broadcast_to(arms_in[:, :, None]
-                                       if arms_in.ndim == 2 else arms_in,
-                                       vol_j.shape + (1,))
-            X = jnp.concatenate([vol_j[..., None], arms_in,
-                                 jnp.broadcast_to(
-                                     jnp.asarray(statics)[:, None, :],
-                                     vol_j.shape + (statics.shape[-1],))],
-                                axis=-1)
-        else:
-            X = self._library_inputs(vol_j, jnp.asarray(statics))
-        theta = self.library(X)              # [B, T, F]
-
-        F = theta.shape[-1]
-        flat_theta = theta.reshape(-1, F)
-        flat_y = xdot.reshape(-1)
-        flat_ok = sample_ok.reshape(-1)
-        flat_arm = jnp.broadcast_to(arm0[:, None], vol_j.shape).reshape(-1)
+        flat_theta, flat_y, flat_ok, flat_arm = _eq4_design(
+            vol_j, jnp.asarray(statics), jnp.asarray(arms), eff_len,
+            self.dt, library=self.library, joint=cfg.joint_model,
+            smooth=smooth, fd_order=fd_order)
 
         coefs = []
         for a in range(self._n_arms):
@@ -244,30 +282,11 @@ class SINDyRegressor(CausalEstimator):
         duplicated boundary element reproduces exactly this pairing.
         """
         cfg = self.cfg
-        vol_j = jnp.asarray(volumes)                    # [B, T]
-        B, T = vol_j.shape
-        arms_idx = jnp.asarray(arms)                    # [B, T-1]
-        # forward difference over each step (order=1 stencil [-1, 1]/dt)
-        xdot = (vol_j[:, 1:] - vol_j[:, :-1]) / self.dt   # deriv at j
-        sample_ok = (jnp.arange(T - 1)[None, :] <
-                     jnp.asarray(lengths)[:, None])
-        if cfg.joint_model:
-            onehot = jax.nn.one_hot(arms_idx, 2, dtype=vol_j.dtype) \
-                if arms_idx.ndim == 2 else arms_idx
-            # joint tumor model uses the raw (chemo, radio) binary labels
-            # (sindy.py:317-322)
-            X = jnp.concatenate(
-                [vol_j[:, :-1, None], onehot,
-                 jnp.broadcast_to(jnp.asarray(statics)[:, None, :],
-                                  (B, T - 1, statics.shape[-1]))], axis=-1)
-        else:
-            X = self._library_inputs(vol_j[:, :-1], jnp.asarray(statics))
-        theta = self.library(X)
-        F = theta.shape[-1]
-        flat_theta = theta.reshape(-1, F)
-        flat_y = xdot.reshape(-1)
-        flat_ok = sample_ok.reshape(-1)
-        flat_arm = arms_idx.reshape(-1) if arms_idx.ndim == 2 else None
+
+        flat_theta, flat_y, flat_ok, flat_arm = _tumor_design(
+            jnp.asarray(volumes), jnp.asarray(statics), jnp.asarray(arms),
+            jnp.asarray(lengths), library=self.library,
+            joint=cfg.joint_model, dt=self.dt)
 
         coefs = []
         for a in range(self._n_arms):

@@ -87,11 +87,23 @@ def generate_params(num_patients: int, conf_coeff: float, window_size: int,
                     lag: int, key, equation: Equation,
                     dtype=None) -> dict:
     dtype = dtype or default_float()
-    params = get_standard_params(num_patients, equation, key, dtype=dtype)
+    params = _get_standard_params_jit(key, num_patients, equation.name,
+                                      dtype=dtype)
+    params = dict(params)
+    params['observation_noise'] = OBSERVATION_NOISE
     params['sigmoid_intercept'] = MAX_VALUE / 2.0
     params['sigmoid_gamma'] = conf_coeff / MAX_VALUE
     params['window_size'] = window_size
     params['lag'] = lag
+    return params
+
+
+@partial(jax.jit, static_argnums=(1, 2), static_argnames=('dtype',))
+def _get_standard_params_jit(key, num_patients: int, equation_name: str,
+                             dtype=jnp.float32):
+    params = get_standard_params(num_patients, Equation[equation_name], key,
+                                 dtype=dtype)
+    params.pop('observation_noise')
     return params
 
 
@@ -175,32 +187,39 @@ def _factual_volumes(params, treatment, n_steps, dtype, dt):
     return jnp.concatenate([v0[:, None], v0[:, None] * cum], axis=1)
 
 
-def _add_observation_noise(volumes, equation: Equation, params, key):
-    if equation.name.split('_')[-1] in ('B', 'C', 'D'):
-        key, sub = random.split(key)
-        volumes = volumes + params['observation_noise'] * \
-            random.normal(sub, volumes.shape, volumes.dtype)
-    return volumes
+def _add_observation_noise_always(volumes, params, key):
+    key, sub = random.split(key)
+    return volumes + params['observation_noise'] * \
+        random.normal(sub, volumes.shape, volumes.dtype)
 
 
 # ---------------------------------------------------------------------------
 # Factual simulation (pkpd_simulation.py:205-309)
 
-def simulate_factual(params, seq_length: int, key, equation: Equation,
-                     dtype=None) -> dict:
-    dtype = dtype or default_float()
+@partial(jax.jit, static_argnums=(2, 3), static_argnames=('dtype',))
+def _simulate_factual_full(params, key, seq_length: int, add_noise: bool,
+                           dtype=jnp.float32):
+    """Single-dispatch factual simulation: RNG draws + rollout + truncation
+    + observation noise fused into one XLA program (the un-jitted per-draw
+    dispatches dominate wall-clock over a remote TPU link)."""
     num_patients = params['initial_volumes'].shape[0]
-
     key, sub = random.split(key)
     recovery_rvs = random.uniform(sub, (num_patients, seq_length), dtype)
     key, sub = random.split(key)
     treatment_rvs = random.uniform(sub, (num_patients,), dtype)
+    volumes, treatments, seq_lengths = _simulate_factual_core(
+        params, treatment_rvs, recovery_rvs, seq_length, dtype=dtype)
+    if add_noise:
+        volumes = _add_observation_noise_always(volumes, params, key)
+    return volumes, treatments, seq_lengths
 
-    data = _simulate_factual_core(params, treatment_rvs, recovery_rvs,
-                                  seq_length, dtype=dtype)
-    volumes, treatments, seq_lengths = data
-    volumes = _add_observation_noise(volumes, equation, params, key)
 
+def simulate_factual(params, seq_length: int, key, equation: Equation,
+                     dtype=None) -> dict:
+    dtype = dtype or default_float()
+    add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
+    volumes, treatments, seq_lengths = _simulate_factual_full(
+        params, key, seq_length, add_noise, dtype=dtype)
     out = {
         'cancer_volume': np.asarray(volumes),
         'treatment_application': np.asarray(treatments),
@@ -251,25 +270,33 @@ def _simulate_factual_core(params, treatment_rvs, recovery_rvs,
 # ---------------------------------------------------------------------------
 # One-step counterfactuals (pkpd_simulation.py:352-471)
 
+@partial(jax.jit, static_argnums=(2, 3), static_argnames=('dtype',))
+def _simulate_cf_1_step_full(params, key, seq_length: int, add_noise: bool,
+                             dtype=jnp.float32):
+    num_patients = params['initial_volumes'].shape[0]
+    key, sub = random.split(key)
+    # unused draw, kept for split-order parity with the reference (:380-381)
+    _ = random.uniform(sub, (num_patients, seq_length - 1), dtype)
+    key, sub = random.split(key)
+    treatment_rvs = random.uniform(sub, (num_patients,), dtype)
+    volumes, actions, seq_lengths = _simulate_cf_1_step_core(
+        params, treatment_rvs, seq_length, dtype=dtype)
+    if add_noise:
+        volumes = _add_observation_noise_always(volumes, params, key)
+    rows_pp = volumes.shape[1]
+    statics0 = jnp.repeat(params['observed_static_c_0'], rows_pp)
+    statics1 = jnp.repeat(params['observed_static_c_1'], rows_pp)
+    return volumes, actions, seq_lengths, statics0, statics1
+
+
 def simulate_counterfactual_1_step(params, seq_length: int, key,
                                    equation: Equation,
                                    dtype=None) -> dict:
     dtype = dtype or default_float()
-    num_patients = params['initial_volumes'].shape[0]
-
-    key, sub = random.split(key)
-    _ = random.uniform(sub, (num_patients, seq_length - 1), dtype)  # unused,
-    # drawn for split-order parity with the reference (:380-381)
-    key, sub = random.split(key)
-    treatment_rvs = random.uniform(sub, (num_patients,), dtype)
-
-    volumes, actions, seq_lengths = _simulate_cf_1_step_core(
-        params, treatment_rvs, seq_length, dtype=dtype)
-    volumes = _add_observation_noise(volumes, equation, params, key)
-
-    rows_pp = volumes.shape[1]
-    statics0 = jnp.repeat(params['observed_static_c_0'], rows_pp)
-    statics1 = jnp.repeat(params['observed_static_c_1'], rows_pp)
+    add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
+    volumes, actions, seq_lengths, statics0, statics1 = \
+        _simulate_cf_1_step_full(params, key, seq_length, add_noise,
+                                 dtype=dtype)
     out = {
         'cancer_volume': np.asarray(volumes.reshape(-1, volumes.shape[-1])),
         'treatment_application':
@@ -349,9 +376,27 @@ def simulate_counterfactuals_treatment_seq(params, seq_length: int,
                                            dtype=None) -> dict:
     dtype = dtype or default_float()
     assert cf_seq_mode in ('sliding_treatment', 'random_trajectories')
-    num_patients = params['initial_volumes'].shape[0]
-    ph = projection_horizon
+    add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
+    volumes, actions, seq_lengths, statics0, statics1 = \
+        _simulate_cf_seq_full(params, key, seq_length, projection_horizon,
+                              cf_seq_mode, add_noise, dtype=dtype)
+    out = {
+        'cancer_volume': np.asarray(volumes.reshape(-1, volumes.shape[-1])),
+        'treatment_application':
+            np.asarray(actions.reshape(-1, actions.shape[-1])),
+        'sequence_lengths': np.asarray(seq_lengths.reshape(-1)),
+        'observed_static_c_0': np.asarray(statics0),
+        'observed_static_c_1': np.asarray(statics1),
+    }
+    assert not np.any(np.isnan(out['cancer_volume']))
+    return out
 
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5), static_argnames=('dtype',))
+def _simulate_cf_seq_full(params, key, seq_length: int, ph: int,
+                          cf_seq_mode: str, add_noise: bool,
+                          dtype=jnp.float32):
+    num_patients = params['initial_volumes'].shape[0]
     key, sub = random.split(key)
     _ = random.uniform(sub, (num_patients, seq_length + ph - 1), dtype)
     key, sub = random.split(key)
@@ -377,21 +422,12 @@ def simulate_counterfactuals_treatment_seq(params, seq_length: int,
 
     volumes, actions, seq_lengths = _simulate_cf_seq_core(
         params, treatment_rvs, plans, seq_length, ph, dtype=dtype)
-    volumes = _add_observation_noise(volumes, equation, params, key)
-
+    if add_noise:
+        volumes = _add_observation_noise_always(volumes, params, key)
     rows_pp = volumes.shape[1]
     statics0 = jnp.repeat(params['observed_static_c_0'], rows_pp)
     statics1 = jnp.repeat(params['observed_static_c_1'], rows_pp)
-    out = {
-        'cancer_volume': np.asarray(volumes.reshape(-1, volumes.shape[-1])),
-        'treatment_application':
-            np.asarray(actions.reshape(-1, actions.shape[-1])),
-        'sequence_lengths': np.asarray(seq_lengths.reshape(-1)),
-        'observed_static_c_0': np.asarray(statics0),
-        'observed_static_c_1': np.asarray(statics1),
-    }
-    assert not np.any(np.isnan(out['cancer_volume']))
-    return out
+    return volumes, actions, seq_lengths, statics0, statics1
 
 
 @partial(jax.jit, static_argnums=(3, 4), static_argnames=('dtype',))
