@@ -1,0 +1,181 @@
+"""Causal Transformer (CT) — multi-input transformer with balanced
+representations and domain-confusion training.
+
+JAX/flax re-design of the reference CT (src/models/ct.py:26-216, blocks at
+utils_transformer.py:220-321).  Training runs as one jitted lax.scan program
+(see nn/training.py); multi-step prediction follows the reference's
+write-predictions-into-prev_outputs protocol (ct.py:187-203).
+
+Note: the reference shares one relative-PE table across every attention in
+every block (ct.py:88-96 passes the same module); here each attention owns
+its table — same capacity class, distribution-level parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from insite_tpu.models.base import CausalEstimator
+from insite_tpu.models.nn.blocks import (BRTreatmentOutcomeHead,
+                                         TransformerMultiInputBlock)
+from insite_tpu.models.nn.training import (TrainConfig, fit_br_model,
+                                           merge_by_mask,
+                                           treatment_head_mask)
+
+
+@dataclass
+class CTConfig:
+    """Tuned hparams from config/backbone/ct.yaml +
+    benchmark_hparams/ct.yaml."""
+
+    dim_treatments: int = 2
+    dim_static_features: int = 2
+    dim_outcome: int = 1
+    seq_hidden_units: int = 16
+    br_size: int = 16
+    fc_hidden_units: int = 32
+    dropout_rate: float = 0.1
+    num_layer: int = 1
+    num_heads: int = 2
+    max_relative_position: int = 15
+    learning_rate: float = 0.01
+    batch_size: int = 256
+    epochs: int = 100
+    balancing: str = 'domain_confusion'
+    alpha: float = 0.01
+    update_alpha: bool = True
+    weights_ema: bool = True
+    beta: float = 0.99
+    treatment_mode: str = 'multiclass'
+    projection_horizon: int = 5
+    max_grad_norm: Optional[float] = None
+    seed: int = 0
+
+
+class CTNetwork(nn.Module):
+    cfg: CTConfig
+
+    @nn.compact
+    def __call__(self, batch, alpha=0.0, train=False,
+                 detach_treatment=False):
+        cfg = self.cfg
+        x_t = nn.Dense(cfg.seq_hidden_units,
+                       name='treatments_input')(batch['prev_treatments'])
+        x_o = nn.Dense(cfg.seq_hidden_units,
+                       name='outputs_input')(batch['prev_outputs'])
+        x_s = nn.Dense(cfg.seq_hidden_units,
+                       name='static_input')(batch['static_features'][:, None,
+                                                                     :])
+        active = batch['active_entries']
+        head_size = cfg.seq_hidden_units // cfg.num_heads
+        for i in range(cfg.num_layer):
+            x_t, x_o = TransformerMultiInputBlock(
+                cfg.seq_hidden_units, cfg.num_heads, head_size,
+                cfg.seq_hidden_units * 4, cfg.dropout_rate, cfg.dropout_rate,
+                cfg.max_relative_position, name=f'block_{i}')(
+                    x_t, x_o, x_s, active, train)
+        x = (x_o + x_t) / 2
+        x = nn.Dropout(cfg.dropout_rate, deterministic=not train)(x)
+        head = BRTreatmentOutcomeHead(cfg.br_size, cfg.fc_hidden_units,
+                                      cfg.dim_treatments, cfg.dim_outcome,
+                                      cfg.balancing,
+                                      name='br_treatment_outcome_head')
+        return head(x, batch['current_treatments'], alpha, detach_treatment)
+
+
+_BATCH_KEYS = ('prev_treatments', 'prev_outputs', 'static_features',
+               'current_treatments', 'outputs', 'active_entries')
+
+
+def _device_batch(data, keys=_BATCH_KEYS, dtype=jnp.float32):
+    return {k: jnp.asarray(data[k], dtype) for k in keys}
+
+
+class CausalTransformer(CausalEstimator):
+    model_type = 'multi'
+    tuning_criterion = 'rmse'
+
+    def __init__(self, cfg: CTConfig, dataset_collection=None):
+        self.cfg = cfg
+        self.collection = dataset_collection
+        self.net = CTNetwork(cfg)
+        self.params = None
+        self.ema_params = None
+        self.treat_mask = None
+        if dataset_collection is not None and \
+                not dataset_collection.processed_data_multi:
+            dataset_collection.process_data_multi()
+
+    def _apply(self, params, batch, alpha, train, rngs, detach_treatment):
+        return self.net.apply({'params': params}, batch, alpha, train,
+                              detach_treatment, rngs=rngs)
+
+    def fit(self, train_f=None, val_f=None):
+        train_f = train_f or self.collection.train_f
+        cfg = self.cfg
+        data = _device_batch(train_f.data)
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+        sample = jax.tree_util.tree_map(lambda a: a[:2], data)
+        variables = self.net.init({'params': init_rng, 'dropout': rng},
+                                  sample, 0.0, False, False)
+        params = variables['params']
+        self.treat_mask = treatment_head_mask(params)
+
+        tc = TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
+                         learning_rate=cfg.learning_rate,
+                         balancing=cfg.balancing, alpha=cfg.alpha,
+                         update_alpha=cfg.update_alpha,
+                         weights_ema=cfg.weights_ema, beta=cfg.beta,
+                         treatment_mode=cfg.treatment_mode,
+                         max_grad_norm=cfg.max_grad_norm)
+        self.params, self.ema_params = fit_br_model(
+            self._apply, params, data, tc, self.treat_mask, rng)
+        return self
+
+    def _predict_params(self):
+        if self.cfg.weights_ema and self.ema_params is not None:
+            # EMA weights for the non-treatment partition
+            # (predict_step, time_varying_model.py:599-608)
+            return merge_by_mask(self.params, self.ema_params,
+                                 self.treat_mask)
+        return self.params
+
+    def get_predictions(self, dataset) -> np.ndarray:
+        batch = _device_batch(dataset.data)
+        _, outcome_pred, _ = self._apply(self._predict_params(), batch, 0.0,
+                                         False, None, False)
+        return np.asarray(outcome_pred)
+
+    def get_representations(self, dataset) -> np.ndarray:
+        batch = _device_batch(dataset.data)
+        _, _, br = self._apply(self._predict_params(), batch, 0.0, False,
+                               None, False)
+        return np.asarray(br)
+
+    def get_autoregressive_predictions(self, dataset) -> np.ndarray:
+        """Iterative multi-step: write predictions into prev_outputs at the
+        rolling origin (ct.py:187-203)."""
+        ph = self.cfg.projection_horizon
+        data = {k: np.array(dataset.data[k]) for k in _BATCH_KEYS}
+        split = dataset.data['future_past_split'].astype(int)
+        n = data['outputs'].shape[0]
+        predicted = np.zeros((n, ph, self.cfg.dim_outcome))
+        for t in range(ph + 1):
+            batch = _device_batch(data)
+            _, outcome_pred, _ = self._apply(self._predict_params(), batch,
+                                             0.0, False, None, False)
+            outputs_scaled = np.asarray(outcome_pred)
+            if t < ph:
+                data['prev_outputs'][np.arange(n), split + t, :] = \
+                    outputs_scaled[np.arange(n), split - 1 + t, :]
+            if t > 0:
+                predicted[:, t - 1, :] = \
+                    outputs_scaled[np.arange(n), split - 1 + t, :]
+        return predicted
