@@ -1,0 +1,54 @@
+"""Experiment configuration: the two-level config of the reference
+(outer sweep config config/config.yaml + per-run overlays assembled in
+run.py:197-263) as plain dataclasses with YAML override support."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# per-dataset SINDy hyperparameters (config/config.yaml:17-28)
+SINDY_THRESHOLD = {'cancer_sim': 0.001, 'EQ_5': 0.001, 'EQ_4': 0.1}
+SINDY_LAM = {'cancer_sim': 10.0, 'EQ_5': 10.0, 'EQ_4': 10.0}
+SINDY_ALPHA = 0.5
+
+
+def sindy_params_for(dataset_name: str):
+    thr = [v for k, v in SINDY_THRESHOLD.items() if k in dataset_name]
+    lam = [v for k, v in SINDY_LAM.items() if k in dataset_name]
+    assert len(thr) == 1 and len(lam) == 1
+    return thr[0], lam[0]
+
+
+@dataclass
+class RunConfig:
+    """Outer sweep config (config/config.yaml:1-59)."""
+
+    epochs: int = 100
+    train_samples: int = 1000
+    val_samples: int = 100
+    test_samples: int = 100
+    domain_conf: float = 2.0
+    seed_start: int = 0
+    seed_runs: int = 10
+    methods: tuple = ('insite', 'sindy', 'wsindy', 'crn', 'msm', 'gnet',
+                      'ct', 'rmsn')
+    datasets: tuple = ('cancer_sim', 'EQ_5_A', 'EQ_5_B', 'EQ_5_C', 'EQ_5_D',
+                       'EQ_4_A', 'EQ_4_B', 'EQ_4_C', 'EQ_4_D')
+    domain_confs: tuple = (0, 1, 2, 3, 4)
+    experiment: str = 'MAIN_TABLE'
+    gnet_mc_samples: int = 25
+    cf_seq_mode: str = 'sliding_treatment'
+    load_from_cache: bool = False
+    force_recache: bool = False
+    flush_mode: bool = False
+    debug_mode: bool = True
+    log_dir: str = 'logs'
+
+    def flush(self):
+        """CI fast path (run.py:71-81)."""
+        self.epochs = 1
+        self.seed_start, self.seed_runs = 0, 1
+        self.gnet_mc_samples = 2
+        self.train_samples, self.val_samples, self.test_samples = 1000, 10, 10
+        return self

@@ -1,0 +1,105 @@
+"""Results toolkit: log-as-database parsing, 95% t-CI aggregation and LaTeX
+main-table emission (reference: utils/results_utils.py:16-392)."""
+
+from __future__ import annotations
+
+import ast
+
+import numpy as np
+import pandas as pd
+from scipy import stats
+
+METHOD_NAME_MAP = {'sindy': 'A-SINDy', 'wsindy': 'A-WSINDy',
+                   'te-cde': 'TE-CDE', 'insite': r'\bf INSITE',
+                   'crn': 'CRN', 'msm': 'MSM', 'gnet': 'G-Net',
+                   'rmsn': 'RMSN', 'ct': 'CT', 'edct': 'EDCT'}
+DATASET_NAME_ORDERING = {'cancer_sim': -1, 'EQ_4_A': 0, 'EQ_4_B': 1,
+                         'EQ_4_C': 2, 'EQ_4_D': 3, 'EQ_5_A': 4, 'EQ_5_B': 5,
+                         'EQ_5_C': 6, 'EQ_5_D': 7}
+METHOD_NAME_ORDERING = {'msm': 0, 'rmsn': 1, 'crn': 2, 'gnet': 3,
+                        'te-cde': 4, 'ct': 5, 'edct': 6, 'sindy': 7,
+                        'wsindy': 8, 'insite': 9}
+DATASET_NAME_MAP = {'EQ_4_A': 'Eq.4.A', 'EQ_4_B': 'Eq.4.B',
+                    'EQ_4_C': 'Eq.4.C', 'EQ_4_D': 'Eq.4.D',
+                    'EQ_5_A': 'Eq.5.A', 'EQ_5_B': 'Eq.5.B',
+                    'EQ_5_C': 'Eq.5.C', 'EQ_5_D': 'Eq.5.D',
+                    'cancer_sim': 'Cancer PKPD'}
+
+
+def ci(data, confidence=0.95, axis=0):
+    """95% t-interval half-width (results_utils.py:80-86)."""
+    a = 1.0 * np.array(data)
+    n = a.shape[axis]
+    se = stats.sem(a, axis=axis)
+    return se * stats.t.ppf((1 + confidence) / 2.0, n - 1)
+
+
+def custom_format(number, threshold=1e-2):
+    if abs(number) < threshold:
+        return '0.00' if number == 0 else f'{number:.2e}'
+    return f'{number:.2f}'
+
+
+def df_from_log(path) -> pd.DataFrame:
+    """Parse '[Exp evaluation complete] {...}' lines back into a DataFrame
+    (results_utils.py:121-172)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if '[Exp evaluation complete] {' in line:
+                payload = line.split('[Exp evaluation complete] ')[1].strip()
+                payload = payload.replace('nan', "'nan'")
+                payload = payload.replace('array', '')
+                rows.append(ast.literal_eval(payload))
+    return pd.DataFrame(rows)
+
+
+def generate_main_results_table(df_results: pd.DataFrame, use_95_ci=True):
+    """LaTeX table per n-step metric (results_utils.py:305-382)."""
+    df = df_results.copy()
+    if 'errored' in df.columns:
+        df = df[~df['errored'].fillna(False)]
+        df = df.drop(columns=['errored'])
+    keep = [c for c in df.columns
+            if c in ('dataset_name', 'method_name') or 'rmse' in c]
+    df = df[keep]
+    agg = [np.mean, ci] if use_95_ci else [np.mean, np.std]
+    error_metric = 'ci' if use_95_ci else 'std'
+    df_out = df.groupby(['dataset_name', 'method_name']).agg(agg) \
+        .reset_index()
+    df_out['dataset_name_order'] = \
+        df_out['dataset_name'].map(DATASET_NAME_ORDERING)
+    df_out['method_name_order'] = \
+        df_out['method_name'].map(METHOD_NAME_ORDERING)
+    df_out = df_out.sort_values(by=['dataset_name_order',
+                                    'method_name_order'])
+    df_out = df_out.drop(columns=['dataset_name_order', 'method_name_order'])
+
+    metrics = [c for c in df.columns if 'decoder_test_rmse' in c] + \
+        [c for c in df.columns if c == 'encoder_test_rmse_orig']
+    tables = {}
+    for metric in metrics:
+        lines = [r'\begin{tabular}{@{}l' +
+                 'c' * df_out.dataset_name.nunique() + '}', r'\toprule',
+                 r'Method &' + '&'.join(
+                     DATASET_NAME_MAP.get(dn, dn)
+                     for dn in df_out.dataset_name.unique()) + r'\\',
+                 r'\midrule']
+        for method_name in df_out.method_name.unique():
+            line = METHOD_NAME_MAP.get(method_name, method_name)
+            for dataset_name in df_out.dataset_name.unique():
+                row = df_out[(df_out.method_name == method_name) &
+                             (df_out.dataset_name == dataset_name)]
+                if row.empty or row[metric]['mean'].isna().all():
+                    line += r'& NA'
+                    continue
+                mean = custom_format(row[metric]['mean'].iloc[0])
+                err = row[metric][error_metric].iloc[0]
+                err = custom_format(0.0 if np.isnan(err) else err)
+                cell = mean + r'$\pm$' + err
+                line += (r'& \textbf{' + cell + '}'
+                         if method_name == 'insite' else '&' + cell)
+            lines.append(line + r'\\')
+        lines += [r'\bottomrule', r'\end{tabular}']
+        tables[metric] = '\n'.join(lines)
+    return tables

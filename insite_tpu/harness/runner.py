@@ -1,0 +1,220 @@
+"""Experiment orchestrator: enumerate (dataset, method, seed, gamma) runs,
+dispatch to the per-method pipeline, isolate faults, aggregate results.
+
+Re-design of the reference run.py:45-307 + the per-method runnables
+(runnables/train_*.py): every method follows seed -> dataset collection
+(cached) -> infer dims -> fit -> 1-step RMSE -> n-step RMSEs -> flat metrics
+dict; the sweep log lines double as the results database
+('[Exp evaluation complete] {...}', parsed back by results.df_from_log).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import traceback
+from enum import Enum
+
+import numpy as np
+
+from insite_tpu.data import make_collection
+from insite_tpu.harness.config import (RunConfig, SINDY_ALPHA,
+                                       sindy_params_for)
+
+logger = logging.getLogger('insite_tpu')
+
+METHODS = ('sindy', 'insite', 'wsindy', 'msm', 'ct', 'crn', 'rmsn', 'gnet',
+           'edct')
+
+
+class Experiment(Enum):
+    MAIN_TABLE = 1
+    INSIGHT_CONFOUNDING = 2
+    ABLATION_ONE_ODE = 3
+    ABLATION_MORE_COMPLEX_BASIS_FUNCTIONS = 4
+    INSIGHT_RECOVER_PARAMETRIC_DIST = 5
+    INSIGHT_NOISE = 6
+    INSIGHT_LESS_SAMPLES = 7
+
+
+def _dims_from_collection(coll):
+    d = coll.train_f.data
+    return dict(dim_outcome=d['outputs'].shape[-1],
+                dim_treatments=d['current_treatments'].shape[-1],
+                dim_static_features=d['static_features'].shape[-1])
+
+
+def _collection_for(dataset_name, method_name, seed, domain_conf,
+                    cfg: RunConfig, experiment: Experiment):
+    # sindy-family runs multiclass; everything else multilabel
+    # (run.py:198-263 override assembly)
+    if method_name in ('sindy', 'insite', 'wsindy'):
+        treatment_mode = ('multilabel'
+                          if experiment == Experiment.ABLATION_ONE_ODE
+                          else 'multiclass')
+    else:
+        treatment_mode = 'multilabel'
+    num_patients = {'train': cfg.train_samples, 'val': cfg.val_samples,
+                    'test': cfg.test_samples}
+    key = (dataset_name, treatment_mode, seed, float(domain_conf),
+           tuple(sorted(num_patients.items())), cfg.cf_seq_mode)
+    if cfg.load_from_cache and not cfg.force_recache:
+        from insite_tpu.harness.cache import get_cached
+        coll = get_cached(key)
+        if coll is not None:
+            return coll
+    coll = make_collection(dataset_name, num_patients, seed,
+                           coeff=float(domain_conf),
+                           treatment_mode=treatment_mode,
+                           cf_seq_mode=cfg.cf_seq_mode)
+    if cfg.load_from_cache or cfg.force_recache:
+        from insite_tpu.harness.cache import put_cached
+        put_cached(key, coll)
+    return coll
+
+
+def _build_model(method_name, dataset_name, coll, cfg: RunConfig,
+                 experiment: Experiment, seed: int):
+    # processing entry point per method family (train_*.py:39-49)
+    if method_name in ('crn', 'edct', 'rmsn'):
+        if not coll.processed_data_encoder:
+            coll.process_data_encoder()
+    else:
+        if not coll.processed_data_multi:
+            coll.process_data_multi(
+                include_continuous_treatment=(
+                    'EQ_5' in dataset_name and
+                    method_name in ('sindy', 'insite', 'wsindy')))
+    dims = _dims_from_collection(coll)
+    if method_name in ('sindy', 'insite', 'wsindy'):
+        from insite_tpu.models.sindy import SINDyConfig, SINDyRegressor
+        thr, lam = sindy_params_for(dataset_name)
+        mcfg = SINDyConfig(
+            dataset_name=(dataset_name if dataset_name != 'cancer_sim'
+                          else 'CANCER_SIM'),
+            sindy_threshold=thr, sindy_alpha=SINDY_ALPHA, lam=lam,
+            insite=(method_name == 'insite'),
+            wsindy=(method_name == 'wsindy'),
+            joint_model=(experiment == Experiment.ABLATION_ONE_ODE),
+            ablation_more_complex_basis_functions=(
+                experiment ==
+                Experiment.ABLATION_MORE_COMPLEX_BASIS_FUNCTIONS),
+            treatment_mode=coll.treatment_mode)
+        return SINDyRegressor(mcfg, coll)
+    if method_name == 'ct':
+        from insite_tpu.models.ct import CTConfig, CausalTransformer
+        return CausalTransformer(CTConfig(epochs=cfg.epochs, seed=seed,
+                                          treatment_mode=coll.treatment_mode,
+                                          **dims), coll)
+    if method_name == 'crn':
+        from insite_tpu.models.crn import CRN, CRNConfig
+        return CRN(CRNConfig(epochs=cfg.epochs, seed=seed,
+                             treatment_mode=coll.treatment_mode, **dims),
+                   coll)
+    if method_name == 'edct':
+        from insite_tpu.models.edct import EDCT, EDCTConfig
+        return EDCT(EDCTConfig(epochs=cfg.epochs, seed=seed,
+                               treatment_mode=coll.treatment_mode, **dims),
+                    coll)
+    if method_name == 'rmsn':
+        from insite_tpu.models.rmsn import RMSN, RMSNConfig
+        return RMSN(RMSNConfig(epochs=cfg.epochs, seed=seed,
+                               treatment_mode=coll.treatment_mode, **dims),
+                    coll)
+    if method_name == 'gnet':
+        from insite_tpu.models.gnet import GNet, GNetConfig
+        return GNet(GNetConfig(epochs=cfg.epochs, seed=seed,
+                               mc_samples=cfg.gnet_mc_samples, **dims),
+                    coll)
+    if method_name == 'msm':
+        from insite_tpu.models.msm import MSM, MSMConfig
+        return MSM(MSMConfig(max_epochs=cfg.epochs, **dims), coll)
+    raise NotImplementedError(method_name)
+
+
+def run_experiment(dataset_name: str, method_name: str, seed: int,
+                   domain_conf: float, cfg: RunConfig = None,
+                   experiment: Experiment = Experiment.MAIN_TABLE) -> dict:
+    """One (dataset, method, seed, gamma) run; the per-method train+eval
+    pipeline of runnables/train_*.py distilled to its shared skeleton."""
+    cfg = cfg or RunConfig()
+    t0 = time.perf_counter()
+    np.random.seed(seed)
+    coll = _collection_for(dataset_name, method_name, seed, domain_conf,
+                           cfg, experiment)
+    model = _build_model(method_name, dataset_name, coll, cfg, experiment,
+                         seed)
+    model.fit(coll.train_f, coll.val_f)
+
+    results = {}
+    rmse_orig, rmse_all, rmse_last = model.get_normalised_masked_rmse(
+        coll.test_cf_one_step, one_step_counterfactual=True)
+    results.update({'encoder_test_rmse_all': rmse_all,
+                    'encoder_test_rmse_orig': rmse_orig,
+                    'encoder_test_rmse_last': rmse_last})
+
+    n_step = model.get_normalised_n_step_rmses(coll.test_cf_treatment_seq)
+    results.update({f'decoder_test_rmse_{k + 2}-step': float(v)
+                    for k, v in enumerate(np.asarray(n_step))})
+
+    if hasattr(model, 'global_equation_string'):
+        results['global_equation_string'] = model.global_equation_string
+        results['fine_tuned'] = getattr(model, 'insite', False)
+    results.update({'method': method_name, 'seed': seed,
+                    'seconds_taken': time.perf_counter() - t0})
+    return results
+
+
+def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
+          log=None):
+    """The full benchmark sweep with per-run fault isolation
+    (run.py:90-137, 154-171)."""
+    import pandas as pd
+    cfg = cfg or RunConfig()
+    log = log or logger
+    if cfg.flush_mode:
+        cfg.flush()
+
+    args_for_runs = []
+    if experiment in (Experiment.MAIN_TABLE, Experiment.ABLATION_ONE_ODE,
+                      Experiment.ABLATION_MORE_COMPLEX_BASIS_FUNCTIONS,
+                      Experiment.INSIGHT_RECOVER_PARAMETRIC_DIST):
+        for seed in range(cfg.seed_start, cfg.seed_start + cfg.seed_runs):
+            for dataset_name in cfg.datasets:
+                for method_name in cfg.methods:
+                    if method_name == 'wsindy' and \
+                            'EQ_4' not in dataset_name:
+                        continue   # run.py:100-103
+                    args_for_runs.append((dataset_name, method_name, seed,
+                                          cfg.domain_conf))
+    elif experiment == Experiment.INSIGHT_CONFOUNDING:
+        for seed in range(cfg.seed_start, cfg.seed_start + cfg.seed_runs):
+            for domain_conf in cfg.domain_confs:
+                for method_name in cfg.methods:
+                    args_for_runs.append(('EQ_4_D', method_name, seed,
+                                          domain_conf))
+
+    results = []
+    for args in args_for_runs:
+        dataset_name, method_name, seed, domain_conf = args
+        log.info(f'[Now evaluating exp] {args}')
+        try:
+            result = run_experiment(dataset_name, method_name, seed,
+                                    domain_conf, cfg, experiment)
+            result['errored'] = False
+        except Exception as e:          # fault wall (run.py:159-169)
+            if cfg.debug_mode:
+                raise
+            log.exception(f'[Error] {e}')
+            traceback.print_exc()
+            result = {'errored': True}
+        result.update({'dataset_name': dataset_name, 'seed': seed,
+                       'method_name': method_name,
+                       'domain_conf': domain_conf})
+        log.info(f'[Exp evaluation complete] {result}')
+        results.append(result)
+
+    df = pd.DataFrame(results)
+    from insite_tpu.harness.results import generate_main_results_table
+    tables = generate_main_results_table(df)
+    return df, tables

@@ -1,0 +1,157 @@
+"""G-Net — LSTM g-computation with MC-sampled autoregressive rollouts.
+
+JAX/flax re-design of the reference G-Net (src/models/gnet.py:29-267):
+representation LSTM + sequential conditional heads, a holdout split whose
+residuals provide the empirical noise distribution, and n-step prediction by
+Monte-Carlo averaging over `mc_samples` noisy autoregressive rollouts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from insite_tpu.models.base import CausalEstimator
+from insite_tpu.models.nn.blocks import ROutcomeVitalsHead, VariationalLSTM
+from insite_tpu.models.nn.training import (TrainConfig, fit_simple,
+                                           masked_mean)
+
+
+@dataclass
+class GNetConfig:
+    """config/backbone/gnet.yaml + benchmark_hparams/gnet.yaml."""
+
+    dim_treatments: int = 1
+    dim_static_features: int = 2
+    dim_outcome: int = 1
+    seq_hidden_units: int = 24
+    r_size: int = 3
+    fc_hidden_units: int = 48
+    dropout_rate: float = 0.1
+    num_layer: int = 1
+    learning_rate: float = 0.01
+    batch_size: int = 128
+    epochs: int = 100
+    mc_samples: int = 25       # config.gnet.mcsamples override (run.py:226)
+    holdout_ratio: float = 0.1
+    projection_horizon: int = 5
+    seed: int = 0
+
+
+class GNetNetwork(nn.Module):
+    cfg: GNetConfig
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cfg = self.cfg
+        h = VariationalLSTM(cfg.seq_hidden_units, cfg.num_layer,
+                            cfg.dropout_rate, name='repr_net')(x, None,
+                                                               train)
+        return ROutcomeVitalsHead(cfg.r_size, cfg.fc_hidden_units,
+                                  (cfg.dim_outcome,),
+                                  name='r_outcome_vitals_head')(h)
+
+
+def _inputs(data):
+    T = data['prev_outputs'].shape[1]
+    statics = np.repeat(np.asarray(data['static_features'])[:, None, :], T,
+                        axis=1)
+    return np.concatenate([data['current_treatments'],
+                           data['prev_outputs'], statics], axis=-1)
+
+
+class GNet(CausalEstimator):
+    model_type = 'g_net'
+    tuning_criterion = 'rmse'
+
+    def __init__(self, cfg: GNetConfig, dataset_collection):
+        self.cfg = cfg
+        self.collection = dataset_collection
+        self.net = GNetNetwork(cfg)
+        self.params = None
+        if not dataset_collection.processed_data_multi:
+            dataset_collection.process_data_multi()
+        dataset_collection.split_train_f_holdout(cfg.holdout_ratio)
+        dataset_collection.explode_cf_treatment_seq(cfg.mc_samples)
+
+    def fit(self, train_f=None, val_f=None):
+        cfg = self.cfg
+        data = self.collection.train_f.data
+        x = _inputs(data)
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+        params = self.net.init({'params': init_rng, 'dropout': rng},
+                               jnp.asarray(x[:2], jnp.float32),
+                               False)['params']
+        batch_data = {'x': jnp.asarray(x, jnp.float32),
+                      'outputs': jnp.asarray(data['outputs'], jnp.float32),
+                      'active_entries': jnp.asarray(data['active_entries'],
+                                                    jnp.float32)}
+
+        def loss_fn(p, batch, rngs):
+            pred = self.net.apply({'params': p}, batch['x'], True,
+                                  rngs=rngs)
+            mse = (pred[..., :cfg.dim_outcome] - batch['outputs']) ** 2
+            return masked_mean(mse, batch['active_entries'])
+
+        tc = TrainConfig(cfg.epochs, cfg.batch_size, cfg.learning_rate)
+        self.params = fit_simple(loss_fn, params, batch_data, tc, rng)
+
+        # holdout residual distribution (gnet.py:180-202)
+        holdout = self.collection.train_f_holdout
+        if len(holdout.data['outputs']):
+            preds = self._predict_data(holdout.data)
+            self.holdout_resid = np.asarray(holdout.data['outputs']) - preds
+            self.holdout_resid_len = \
+                holdout.data['sequence_lengths'].astype(int)
+        else:
+            self.holdout_resid = self.holdout_resid_len = None
+        return self
+
+    def _predict_data(self, data):
+        pred = self.net.apply({'params': self.params},
+                              jnp.asarray(_inputs(data), jnp.float32),
+                              False)
+        return np.array(pred[..., :self.cfg.dim_outcome])  # writable copy
+
+    def get_predictions(self, dataset) -> np.ndarray:
+        return self._predict_data(dataset.data)
+
+    def get_autoregressive_predictions(self, datasets) -> np.ndarray:
+        """MC rollouts with residual-noise injection (gnet.py:230-267)."""
+        cfg = self.cfg
+        ph = cfg.projection_horizon
+        assert isinstance(datasets, list) and len(datasets) == cfg.mc_samples
+        rng = np.random.RandomState(cfg.seed)
+        n = len(datasets[0].data['prev_outputs'])
+        predicted = np.zeros((cfg.mc_samples, n, ph, cfg.dim_outcome))
+        mc_data = [{k: np.array(d.data[k]) for k in
+                    ('prev_outputs', 'current_treatments',
+                     'static_features', 'future_past_split')}
+                   for d in datasets]
+        for t in range(ph + 1):
+            for m in range(cfg.mc_samples):
+                data = mc_data[m]
+                split = data['future_past_split'].astype(int)
+                outputs_scaled = self._predict_data(data)
+                if t > 0:
+                    predicted[m, :, t - 1, :] = \
+                        outputs_scaled[np.arange(n), split - 1 + t, :]
+                if self.holdout_resid is not None:
+                    ridx = rng.randint(len(self.holdout_resid), size=n)
+                    rlen = self.holdout_resid_len[ridx]
+                    resid = self.holdout_resid[
+                        ridx, np.minimum(split - 1 + t, rlen - 1), :]
+                    outputs_scaled[np.arange(n), split - 1 + t, :] += resid
+                if t < ph:
+                    data['prev_outputs'][np.arange(n), split + t, :] = \
+                        outputs_scaled[np.arange(n), split - 1 + t, :]
+        return predicted.mean(0)
+
+    def get_normalised_n_step_rmses(self, dataset, datasets_mc=None):
+        datasets_mc = datasets_mc or self.collection.test_cf_treatment_seq_mc
+        return super().get_normalised_n_step_rmses(dataset, datasets_mc)

@@ -1,0 +1,242 @@
+"""MSM — Marginal Structural Models.
+
+JAX re-design of the reference MSM (src/models/msm.py:29-325): logistic
+propensity models (nominator/denominator of the stabilized weights) and one
+weighted linear regressor per prediction horizon, fitted on exploded
+per-timestep rows.  The sklearn solvers become JAX least-squares / BFGS
+logistic fits; the row-explosion feature builders are kept numerically
+identical.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.optimize import minimize
+
+from insite_tpu.models.base import CausalEstimator
+
+
+@dataclass
+class MSMConfig:
+    dim_treatments: int = 1
+    dim_static_features: int = 2
+    dim_outcome: int = 1
+    lag_features: int = 1
+    projection_horizon: int = 5
+    max_epochs: int = 100
+
+
+def logistic_fit(X, Y, max_iter=100):
+    """Unregularized multi-output logistic regression (sklearn
+    LogisticRegression(penalty='none') equivalent) via BFGS in f64.
+    X: [N, D]; Y: [N, K] binary.  Returns (W [K, D], b [K])."""
+    Xj = jnp.asarray(X, jnp.float64)
+    Yj = jnp.asarray(Y, jnp.float64)
+    D = Xj.shape[1]
+
+    def fit_one(y):
+        def nll(wb):
+            logits = Xj @ wb[:D] + wb[D]
+            return jnp.mean(jnp.logaddexp(0.0, logits) - y * logits)
+        res = minimize(nll, jnp.zeros(D + 1), method='BFGS', tol=1e-8,
+                       options={'maxiter': max_iter})
+        return res.x
+
+    wb = jax.vmap(fit_one, in_axes=1)(Yj)
+    return np.asarray(wb[:, :D]), np.asarray(wb[:, D])
+
+
+def logistic_proba(W, b, X):
+    return 1.0 / (1.0 + np.exp(-(X @ W.T + b)))
+
+
+def linreg_fit(X, Y, sample_weight=None):
+    """Weighted multi-output linear regression with intercept (sklearn
+    LinearRegression equivalent) via lstsq in f64."""
+    X1 = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
+    if sample_weight is not None:
+        sw = np.sqrt(np.asarray(sample_weight, np.float64))[:, None]
+        coef, *_ = np.linalg.lstsq(X1 * sw, np.asarray(Y) * sw, rcond=None)
+    else:
+        coef, *_ = np.linalg.lstsq(X1, np.asarray(Y), rcond=None)
+    return coef                                   # [(D+1), K]
+
+
+class MSM(CausalEstimator):
+    model_type = 'msm_regressor'
+
+    def __init__(self, cfg: MSMConfig, dataset_collection):
+        self.cfg = cfg
+        self.collection = dataset_collection
+        self.lag_features = cfg.lag_features
+        if not dataset_collection.processed_data_multi:
+            dataset_collection.process_data_multi()
+        self.prop_treat = None    # (W, b)
+        self.prop_hist = None
+        self.regressors = []      # per-tau linreg coefs
+
+    # ------------------------------------------------------------------
+    # exploded-row feature builders (msm.py:60-70, 86-92, 140-162, 205-253)
+
+    def _exploded(self, dataset, min_length, only_active_entries=True,
+                  max_length=None):
+        ds = deepcopy(dataset)
+        if max_length is None:
+            max_length = int(max(ds.data['sequence_lengths']))
+        if not only_active_entries:
+            ds.data['active_entries'][:, :, :] = 1.0
+            ds.data['sequence_lengths'][:] = max_length
+        ds.explode_trajectories(min_length)
+        return ds
+
+    @staticmethod
+    def _last_entries(active):
+        return active - np.concatenate(
+            [active[:, 1:, :], np.zeros((active.shape[0], 1, 1))], axis=1)
+
+    def _lagged_entries(self, active, projection_horizon=0):
+        lag = self.lag_features
+        lagged = active - np.concatenate(
+            [active[:, lag + 1:, :],
+             np.zeros((active.shape[0], lag + 1, 1))], axis=1)
+        if projection_horizon > 0:
+            lagged = np.concatenate(
+                [lagged[:, projection_horizon:, :],
+                 np.zeros((active.shape[0], projection_horizon, 1))], axis=1)
+        return lagged
+
+    def _inputs_treat(self, data):
+        return (data['prev_treatments'] * data['active_entries']).sum(1)
+
+    def _inputs_hist(self, data, projection_horizon=0):
+        active = data['active_entries']
+        lagged = self._lagged_entries(active, projection_horizon)
+        before = np.concatenate(
+            [active[:, projection_horizon:, :],
+             np.zeros((active.shape[0], projection_horizon, 1))], axis=1)
+        dim_out = self.cfg.dim_outcome
+        lag = self.lag_features
+        inputs = [(data['prev_treatments'] * before).sum(1)]
+        prev_outputs = data['prev_outputs']
+        inputs.append(prev_outputs[
+            np.repeat(lagged, dim_out, 2) == 1.0].reshape(
+                prev_outputs.shape[0], (lag + 1) * dim_out))
+        inputs.append(data['static_features'])
+        return np.concatenate(inputs, axis=1)
+
+    def _inputs_regressor(self, data, projection_horizon=0, tau=0):
+        active = data['active_entries']
+        inputs = [self._inputs_hist(data, projection_horizon)]
+        current_treatments = data['current_treatments']
+        pred_entries = active - np.concatenate(
+            [active[:, tau + 1:, :],
+             np.zeros((active.shape[0], tau + 1, 1))], axis=1)
+        pred_entries = np.concatenate(
+            [pred_entries[:, projection_horizon - tau:, :],
+             np.zeros((pred_entries.shape[0],
+                       projection_horizon - tau, 1))], axis=1)
+        inputs.append((current_treatments * pred_entries).sum(1))
+        return np.concatenate(inputs, axis=1)
+
+    # ------------------------------------------------------------------
+    def get_propensity_scores(self, dataset, which='treat') -> np.ndarray:
+        lag = self.lag_features
+        exploded = self._exploded(dataset, min_length=lag,
+                                  only_active_entries=False)
+        if which == 'treat':
+            inputs = self._inputs_treat(exploded.data)
+            W, b = self.prop_treat
+        else:
+            inputs = self._inputs_hist(exploded.data)
+            W, b = self.prop_hist
+        probs = logistic_proba(W, b, inputs)
+        n, T = dataset.data['active_entries'].shape[:2]
+        probs = probs.reshape(n, T - lag, self.cfg.dim_treatments)
+        return np.concatenate(
+            [0.5 * np.ones((n, lag, self.cfg.dim_treatments)), probs],
+            axis=1)
+
+    def _fit_propensity(self, which):
+        lag = self.lag_features
+        train = self._exploded(self.collection.train_f, min_length=lag)
+        active = train.data['active_entries']
+        last = self._last_entries(active)
+        if which == 'treat':
+            inputs = self._inputs_treat(train.data)
+        else:
+            inputs = self._inputs_hist(train.data)
+        outputs = (train.data['current_treatments'] * last).sum(1)
+        return logistic_fit(inputs, outputs, self.cfg.max_epochs)
+
+    def fit(self, train_f=None, val_f=None):
+        cfg = self.cfg
+        coll = self.collection
+        self.prop_treat = self._fit_propensity('treat')
+        self.prop_hist = self._fit_propensity('hist')
+
+        pt = self.get_propensity_scores(coll.train_f, 'treat')
+        ph_ = self.get_propensity_scores(coll.train_f, 'hist')
+        coll.train_f.data['stabilized_weights'] = np.prod(pt / ph_, axis=2)
+
+        self.regressors = []
+        for tau in range(cfg.projection_horizon + 1):
+            train = self._exploded(coll.train_f,
+                                   min_length=self.lag_features + tau)
+            active = train.data['active_entries']
+            last = self._last_entries(active)
+            inputs = self._inputs_regressor(train.data,
+                                            projection_horizon=tau, tau=tau)
+            sw = self._sample_weights(train.data, tau)
+            outputs = (train.data['outputs'] * last).sum(1)
+            self.regressors.append(linreg_fit(inputs, outputs, sw))
+        return self
+
+    def _sample_weights(self, data, tau):
+        """msm.py:254-266."""
+        active = data['active_entries']
+        sw_full = data['stabilized_weights']
+        pred_entries = active - np.concatenate(
+            [active[:, tau + 1:, :],
+             np.zeros((active.shape[0], tau + 1, 1))], axis=1)
+        sw = sw_full[np.squeeze(pred_entries, -1) == 1.0].reshape(
+            sw_full.shape[0], tau + 1)
+        sw = np.prod(sw, axis=1)
+        return np.clip(sw, np.nanquantile(sw, 0.01),
+                       np.nanquantile(sw, 0.99))
+
+    # ------------------------------------------------------------------
+    def get_predictions(self, dataset) -> np.ndarray:
+        cfg = self.cfg
+        lag = self.lag_features
+        max_len = int(max(dataset.data['sequence_lengths']))
+        exploded = self._exploded(dataset, min_length=lag,
+                                  only_active_entries=False,
+                                  max_length=max_len)
+        inputs = self._inputs_regressor(exploded.data, 0, 0)
+        coef = self.regressors[0]
+        pred = np.concatenate([inputs, np.ones((inputs.shape[0], 1))],
+                              axis=1) @ coef
+        n, T = dataset.data['active_entries'].shape[:2]
+        pred = pred.reshape(n, T - 1, cfg.dim_outcome)
+        # first step needs two previous outcomes -> duplicate next prediction
+        return np.concatenate([pred[:, :1, :], pred], axis=1)
+
+    def get_autoregressive_predictions(self, dataset) -> np.ndarray:
+        cfg = self.cfg
+        ph = cfg.projection_horizon
+        n = len(dataset.data['sequence_lengths'])
+        predicted = np.zeros((n, ph, cfg.dim_outcome))
+        for t in range(1, ph + 1):
+            inputs = self._inputs_regressor(dataset.data,
+                                            projection_horizon=ph - 1,
+                                            tau=t - 1)
+            coef = self.regressors[t]
+            pred = np.concatenate([inputs, np.ones((inputs.shape[0], 1))],
+                                  axis=1) @ coef
+            predicted[:, t - 1] = pred
+        return predicted

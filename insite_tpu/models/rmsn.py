@@ -1,0 +1,285 @@
+"""RMSN — Recurrent Marginal Structural Networks.
+
+JAX/flax re-design of the reference RMSN (src/models/rmsn.py:27-353 and the
+four-stage pipeline runnables/train_rmsn.py:24-219):
+
+1. propensity-treatment LSTM (nominator) and propensity-history LSTM
+   (denominator) trained with masked multilabel BCE;
+2. stabilized weights SW = prod_a p_treat/p_hist accumulated over time
+   (dataset_collection.py:39-48), clipped at the 1%/99% quantiles and
+   normalised (utils.py:166-179);
+3. SW-weighted one-step encoder;
+4. SW-cumprod-weighted decoder warm-started from encoder representations
+   through a memory adapter (rmsn.py:285-344).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from insite_tpu.models.base import CausalEstimator
+from insite_tpu.models.nn.blocks import VariationalLSTM, bce
+from insite_tpu.models.nn.training import (TrainConfig, fit_simple,
+                                           masked_mean)
+
+
+@dataclass
+class RMSNConfig:
+    """config/backbone/rmsn.yaml + benchmark_hparams/rmsn.yaml."""
+
+    dim_treatments: int = 1
+    dim_static_features: int = 2
+    dim_outcome: int = 1
+    prop_treat_hidden: int = 8
+    prop_treat_dropout: float = 0.1
+    prop_treat_lr: float = 0.001
+    prop_treat_bs: int = 64
+    prop_treat_clip: float = 2.0
+    prop_hist_hidden: int = 16
+    prop_hist_dropout: float = 0.3
+    prop_hist_lr: float = 0.01
+    prop_hist_bs: int = 256
+    prop_hist_clip: float = 1.0
+    enc_hidden: int = 12
+    enc_dropout: float = 0.1
+    enc_lr: float = 0.001
+    enc_bs: int = 64
+    enc_clip: float = 2.0
+    dec_hidden: int = 64
+    dec_dropout: float = 0.2
+    dec_lr: float = 0.001
+    dec_bs: int = 256
+    dec_clip: float = 1.0
+    num_layer: int = 1
+    epochs: int = 100
+    treatment_mode: str = 'multilabel'
+    projection_horizon: int = 5
+    seed: int = 0
+
+
+class LSTMOutputNet(nn.Module):
+    """VariationalLSTM + linear output (rmsn.py:63-72)."""
+
+    hidden: int
+    out_dim: int
+    dropout: float
+    num_layer: int = 1
+    use_memory_adapter: bool = False
+
+    @nn.compact
+    def __call__(self, x, init_state=None, train=False):
+        if self.use_memory_adapter and init_state is not None:
+            init_state = nn.Dense(self.hidden, name='memory_adapter')(
+                init_state)
+        h = VariationalLSTM(self.hidden, self.num_layer, self.dropout,
+                            name='lstm')(x, init_state, train)
+        return nn.Dense(self.out_dim, name='output_layer')(h), h
+
+
+def clip_normalize_stabilized_weights(sw, active_entries,
+                                      multiple_horizons=False):
+    """utils.py:166-179."""
+    active = np.squeeze(active_entries, -1).astype(bool)
+    sw = np.array(sw, dtype=np.float64)
+    sw[~active] = np.nan
+    sw_tilde = np.clip(sw, np.nanquantile(sw, 0.01),
+                       np.nanquantile(sw, 0.99))
+    if multiple_horizons:
+        sw_tilde = sw_tilde / np.nanmean(sw_tilde, axis=0, keepdims=True)
+    else:
+        sw_tilde = sw_tilde / np.nanmean(sw_tilde)
+    sw_tilde[~active] = 0.0
+    return sw_tilde
+
+
+def _statics_expanded(data, T):
+    return np.repeat(np.asarray(data['static_features'])[:, None, :], T,
+                     axis=1)
+
+
+class RMSN(CausalEstimator):
+    model_type = 'rmsn'
+    tuning_criterion = 'rmse'
+
+    def __init__(self, cfg: RMSNConfig, dataset_collection):
+        self.cfg = cfg
+        self.collection = dataset_collection
+        if not dataset_collection.processed_data_encoder:
+            dataset_collection.process_data_encoder()
+        c = cfg
+        self.prop_treat = LSTMOutputNet(c.prop_treat_hidden,
+                                        c.dim_treatments,
+                                        c.prop_treat_dropout, c.num_layer)
+        self.prop_hist = LSTMOutputNet(c.prop_hist_hidden, c.dim_treatments,
+                                       c.prop_hist_dropout, c.num_layer)
+        self.encoder = LSTMOutputNet(c.enc_hidden, c.dim_outcome,
+                                     c.enc_dropout, c.num_layer)
+        self.decoder = LSTMOutputNet(c.dec_hidden, c.dim_outcome,
+                                     c.dec_dropout, c.num_layer,
+                                     use_memory_adapter=True)
+        self.params = {}
+
+    # ------------------------------------------------------------------
+    def _fit_net(self, net, inputs, data_extra, loss_builder, tc, seed,
+                 init_state=None):
+        rng = jax.random.PRNGKey(seed)
+        rng, init_rng = jax.random.split(rng)
+        ex_state = None if init_state is None else init_state[:2]
+        params = net.init({'params': init_rng, 'dropout': rng},
+                          jnp.asarray(inputs[:2]), ex_state, False)['params']
+        data = {'x': jnp.asarray(inputs, jnp.float32)}
+        data.update({k: jnp.asarray(v, jnp.float32)
+                     for k, v in data_extra.items()})
+        if init_state is not None:
+            data['init_state'] = jnp.asarray(init_state, jnp.float32)
+
+        def loss_fn(p, batch, rngs):
+            out, _ = net.apply({'params': p}, batch['x'],
+                               batch.get('init_state'), True, rngs=rngs)
+            return loss_builder(out, batch)
+
+        return fit_simple(loss_fn, params, data, tc, rng)
+
+    def _propensity_inputs_treat(self, data):
+        return np.asarray(data['prev_treatments'])
+
+    def _propensity_inputs_hist(self, data):
+        T = data['prev_treatments'].shape[1]
+        return np.concatenate([data['prev_treatments'],
+                               data['prev_outputs'],
+                               _statics_expanded(data, T)], axis=-1)
+
+    def _encoder_inputs(self, data):
+        T = data['prev_outputs'].shape[1]
+        return np.concatenate([data['prev_outputs'],
+                               data['current_treatments'],
+                               _statics_expanded(data, T)], axis=-1)
+
+    def _decoder_inputs(self, data):
+        T = data['prev_outputs'].shape[1]
+        return np.concatenate([data['current_treatments'],
+                               data['prev_outputs'],
+                               _statics_expanded(data, T)], axis=-1)
+
+    def fit(self, train_f=None, val_f=None):
+        cfg = self.cfg
+        coll = self.collection
+        data = coll.train_f.data
+        mode = cfg.treatment_mode
+
+        def bce_loss_builder(out, batch):
+            elem = bce(out, batch['current_treatments'], mode)
+            return masked_mean(elem, batch['active_entries'][..., 0])
+
+        extra = {k: data[k] for k in ('current_treatments',
+                                      'active_entries')}
+        self.params['prop_treat'] = self._fit_net(
+            self.prop_treat, self._propensity_inputs_treat(data), extra,
+            bce_loss_builder,
+            TrainConfig(cfg.epochs, cfg.prop_treat_bs, cfg.prop_treat_lr,
+                        max_grad_norm=cfg.prop_treat_clip), cfg.seed)
+        self.params['prop_hist'] = self._fit_net(
+            self.prop_hist, self._propensity_inputs_hist(data), extra,
+            bce_loss_builder,
+            TrainConfig(cfg.epochs, cfg.prop_hist_bs, cfg.prop_hist_lr,
+                        max_grad_norm=cfg.prop_hist_clip), cfg.seed + 1)
+
+        # stabilized weights (dataset_collection.py:39-48, rmsn.py:229-243)
+        class _Shim:
+            def __init__(shim, fn):
+                shim.get_propensity_scores = fn
+        coll.process_propensity_train_f(_Shim(self._treat_scores),
+                                        _Shim(self._hist_scores))
+        data['sw_tilde_enc'] = clip_normalize_stabilized_weights(
+            data['stabilized_weights'], data['active_entries'])
+
+        def weighted_mse_builder_enc(out, batch):
+            mse = (out - batch['outputs']) ** 2 * \
+                batch['sw'][..., None]
+            return masked_mean(mse, batch['active_entries'])
+
+        self.params['encoder'] = self._fit_net(
+            self.encoder, self._encoder_inputs(data),
+            {'outputs': data['outputs'],
+             'active_entries': data['active_entries'],
+             'sw': data['sw_tilde_enc']},
+            weighted_mse_builder_enc,
+            TrainConfig(cfg.epochs, cfg.enc_bs, cfg.enc_lr,
+                        max_grad_norm=cfg.enc_clip), cfg.seed + 2)
+
+        # decoder data: rolling-origin rows with encoder warm start
+        if not coll.processed_data_decoder:
+            coll.process_data_decoder(self)
+        ddata = coll.train_f.data
+        sw = np.cumprod(ddata['stabilized_weights'], axis=-1)[:, 1:]
+        ddata['sw_tilde_dec'] = clip_normalize_stabilized_weights(
+            sw, ddata['active_entries'], multiple_horizons=True)
+
+        self.params['decoder'] = self._fit_net(
+            self.decoder, self._decoder_inputs(ddata),
+            {'outputs': ddata['outputs'],
+             'active_entries': ddata['active_entries'],
+             'sw': ddata['sw_tilde_dec']},
+            weighted_mse_builder_enc,
+            TrainConfig(cfg.epochs, cfg.dec_bs, cfg.dec_lr,
+                        max_grad_norm=cfg.dec_clip), cfg.seed + 3,
+            init_state=ddata['init_state'])
+        return self
+
+    # ------------------------------------------------------------------
+    def _treat_scores(self, dataset) -> np.ndarray:
+        d = dataset.data
+        pt, _ = self.prop_treat.apply(
+            {'params': self.params['prop_treat']},
+            jnp.asarray(self._propensity_inputs_treat(d), jnp.float32))
+        return np.asarray(jax.nn.sigmoid(pt))
+
+    def _hist_scores(self, dataset) -> np.ndarray:
+        d = dataset.data
+        ph, _ = self.prop_hist.apply(
+            {'params': self.params['prop_hist']},
+            jnp.asarray(self._propensity_inputs_hist(d), jnp.float32))
+        return np.asarray(jax.nn.sigmoid(ph))
+
+    def get_representations(self, dataset) -> np.ndarray:
+        d = dataset.data
+        _, r = self.encoder.apply(
+            {'params': self.params['encoder']},
+            jnp.asarray(self._encoder_inputs(d), jnp.float32))
+        return np.asarray(r)
+
+    def get_predictions(self, dataset) -> np.ndarray:
+        d = dataset.data
+        if 'init_state' in d:     # decoder rows
+            out, _ = self.decoder.apply(
+                {'params': self.params['decoder']},
+                jnp.asarray(self._decoder_inputs(d), jnp.float32),
+                jnp.asarray(d['init_state'], jnp.float32))
+        else:                     # encoder rows
+            out, _ = self.encoder.apply(
+                {'params': self.params['encoder']},
+                jnp.asarray(self._encoder_inputs(d), jnp.float32))
+        return np.asarray(out)
+
+    def get_autoregressive_predictions(self, dataset) -> np.ndarray:
+        ph = self.cfg.projection_horizon
+        keys = ('prev_treatments', 'prev_outputs', 'static_features',
+                'current_treatments', 'init_state')
+        data = {k: np.array(dataset.data[k]) for k in keys}
+        n = data['prev_outputs'].shape[0]
+        predicted = np.zeros((n, ph, self.cfg.dim_outcome))
+        for t in range(ph):
+            out, _ = self.decoder.apply(
+                {'params': self.params['decoder']},
+                jnp.asarray(self._decoder_inputs(data), jnp.float32),
+                jnp.asarray(data['init_state'], jnp.float32))
+            out = np.asarray(out)
+            predicted[:, t] = out[:, t]
+            if t < ph - 1:
+                data['prev_outputs'][:, t + 1, :] = out[:, t, :]
+        return predicted

@@ -1,0 +1,69 @@
+"""Benchmark sweep CLI — the reference run.py re-expressed over the
+TPU-native framework.
+
+Usage:
+    python run.py --flush                         # 1-seed smoke sweep
+    python run.py --methods insite sindy --datasets EQ_4_D --seeds 2
+    python run.py --experiment INSIGHT_CONFOUNDING
+
+Each run logs '[Exp evaluation complete] {...}' lines (the results
+database, parseable by insite_tpu.harness.results.df_from_log) and emits
+the LaTeX main tables at the end (run.py:132-134 in the reference).
+"""
+
+import argparse
+
+from insite_tpu.harness.config import RunConfig
+from insite_tpu.harness.logging_utils import (create_logger_in_process,
+                                              generate_log_file_path)
+from insite_tpu.harness.runner import Experiment, sweep
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--methods', nargs='+', default=None)
+    p.add_argument('--datasets', nargs='+', default=None)
+    p.add_argument('--seeds', type=int, default=None)
+    p.add_argument('--seed-start', type=int, default=0)
+    p.add_argument('--epochs', type=int, default=None)
+    p.add_argument('--train-samples', type=int, default=None)
+    p.add_argument('--val-samples', type=int, default=None)
+    p.add_argument('--test-samples', type=int, default=None)
+    p.add_argument('--domain-conf', type=float, default=2.0)
+    p.add_argument('--experiment', default='MAIN_TABLE',
+                   choices=[e.name for e in Experiment])
+    p.add_argument('--flush', action='store_true', help='CI fast path')
+    p.add_argument('--no-debug', action='store_true',
+                   help='fault-isolate failing runs instead of raising')
+    p.add_argument('--cache', action='store_true',
+                   help='cache dataset collections on disk')
+    args = p.parse_args()
+
+    cfg = RunConfig()
+    if args.methods:
+        cfg.methods = tuple(args.methods)
+    if args.datasets:
+        cfg.datasets = tuple(args.datasets)
+    if args.seeds is not None:
+        cfg.seed_runs = args.seeds
+    cfg.seed_start = args.seed_start
+    for k in ('epochs', 'train_samples', 'val_samples', 'test_samples'):
+        v = getattr(args, k)
+        if v is not None:
+            setattr(cfg, k, v)
+    cfg.domain_conf = args.domain_conf
+    cfg.flush_mode = args.flush
+    cfg.debug_mode = not args.no_debug
+    cfg.load_from_cache = args.cache
+
+    log_path = generate_log_file_path('run', cfg.log_dir)
+    logger = create_logger_in_process(log_path)
+    logger.info(f'Starting sweep | log at {log_path}')
+    df, tables = sweep(cfg, Experiment[args.experiment], log=logger)
+    for metric, table in tables.items():
+        logger.info(f'Latex Table:: {metric}\n{table}')
+    logger.info(f'[Log found at] {log_path}')
+
+
+if __name__ == '__main__':
+    main()
