@@ -41,6 +41,7 @@ class RunConfig:
     cf_seq_mode: str = 'sliding_treatment'
     load_from_cache: bool = False
     force_recache: bool = False
+    tune_hparams: bool = False   # insite: vmapped lam-grid search on val
     flush_mode: bool = False
     debug_mode: bool = True
     log_dir: str = 'logs'

@@ -63,6 +63,9 @@ def generate_main_results_table(df_results: pd.DataFrame, use_95_ci=True):
     keep = [c for c in df.columns
             if c in ('dataset_name', 'method_name') or 'rmse' in c]
     df = df[keep]
+    if df.empty or 'dataset_name' not in df.columns or \
+            not any('rmse' in c for c in df.columns):
+        return {}   # nothing completed — no tables to emit
     agg = [np.mean, ci] if use_95_ci else [np.mean, np.std]
     error_metric = 'ci' if use_95_ci else 'std'
     df_out = df.groupby(['dataset_name', 'method_name']).agg(agg) \

@@ -147,6 +147,12 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
     model.fit(coll.train_f, coll.val_f)
 
     results = {}
+    if cfg.tune_hparams and method_name == 'insite':
+        # Ray-Tune equivalent (time_varying_model.py:319-395): one vmapped
+        # dispatch scores the whole lam grid on the validation cohort.
+        from insite_tpu.harness.tuning import tune_insite_lam
+        best_lam, _ = tune_insite_lam(model, coll.val_f)
+        results['tuned_lam'] = best_lam
     rmse_orig, rmse_all, rmse_last = model.get_normalised_masked_rmse(
         coll.test_cf_one_step, one_step_counterfactual=True)
     results.update({'encoder_test_rmse_all': rmse_all,

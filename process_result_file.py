@@ -1,0 +1,42 @@
+"""Regenerate the paper tables from a results log file (reference:
+process_result_file.py:1-34 — the log lines are the results database).
+
+Usage:
+    python process_result_file.py logs/run-YYYYMMDD-HHMMSS.txt [--csv out.csv]
+"""
+
+import argparse
+
+from insite_tpu.harness.results import (df_from_log,
+                                        generate_main_results_table)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('log_path', help='sweep log containing '
+                   '"[Exp evaluation complete] {...}" lines')
+    p.add_argument('--csv', default=None,
+                   help='also dump the parsed runs DataFrame to CSV')
+    p.add_argument('--std', action='store_true',
+                   help='report std instead of the default 95%% t-CI')
+    args = p.parse_args()
+
+    import os
+    if not os.path.exists(args.log_path):
+        raise SystemExit(f'log file not found: {args.log_path}')
+    df = df_from_log(args.log_path)
+    if df.empty:
+        raise SystemExit(f'no completed runs found in {args.log_path}')
+    print(f'parsed {len(df)} completed runs '
+          f'({df.dataset_name.nunique()} datasets x '
+          f'{df.method_name.nunique()} methods)')
+    if args.csv:
+        df.to_csv(args.csv, index=False)
+        print(f'wrote {args.csv}')
+    tables = generate_main_results_table(df, use_95_ci=not args.std)
+    for metric, table in tables.items():
+        print(f'\nLatex Table:: {metric}\n{table}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,129 @@
+"""Harness tests: the run_experiment skeleton, log-as-database round-trip,
+LaTeX table emission, dataset cache, and the hparam tuners."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from insite_tpu.harness.config import RunConfig
+from insite_tpu.harness.results import (ci, custom_format, df_from_log,
+                                        generate_main_results_table)
+from insite_tpu.harness.runner import Experiment, run_experiment
+from insite_tpu.harness.tuning import grid_points, tune_insite_lam
+
+TINY = dict(train_samples=80, val_samples=16, test_samples=8)
+
+
+@pytest.fixture(scope='module')
+def sindy_result():
+    cfg = RunConfig(**TINY)
+    return run_experiment('EQ_4_D', 'sindy', seed=0, domain_conf=2.0,
+                          cfg=cfg)
+
+
+def test_run_experiment_metric_keys(sindy_result):
+    r = sindy_result
+    for k in ('encoder_test_rmse_orig', 'encoder_test_rmse_all',
+              'encoder_test_rmse_last', 'decoder_test_rmse_2-step',
+              'decoder_test_rmse_6-step', 'global_equation_string',
+              'seconds_taken', 'method'):
+        assert k in r, k
+    assert np.isfinite(r['encoder_test_rmse_orig'])
+    assert r['encoder_test_rmse_orig'] < 2.0
+
+
+def test_log_roundtrip(tmp_path, sindy_result):
+    """'[Exp evaluation complete] {...}' lines are the results database
+    (results_utils.py:121-172)."""
+    log_path = tmp_path / 'run.txt'
+    row = dict(sindy_result)
+    row.update({'errored': False, 'dataset_name': 'EQ_4_D',
+                'method_name': 'sindy', 'domain_conf': 2.0})
+    logger = logging.getLogger('roundtrip_test')
+    handler = logging.FileHandler(log_path)
+    logger.addHandler(handler)
+    logger.warning(f'[Exp evaluation complete] {row}')
+    handler.close()
+
+    df = df_from_log(log_path)
+    assert len(df) == 1
+    assert df.iloc[0]['method_name'] == 'sindy'
+    np.testing.assert_allclose(df.iloc[0]['encoder_test_rmse_orig'],
+                               sindy_result['encoder_test_rmse_orig'])
+
+    tables = generate_main_results_table(df)
+    assert 'encoder_test_rmse_orig' in tables
+    assert r'\begin{tabular}' in tables['encoder_test_rmse_orig']
+    assert 'Eq.4.D' in tables['encoder_test_rmse_orig']
+
+
+def test_ci_and_format():
+    vals = np.array([1.0, 1.1, 0.9, 1.05, 0.95])
+    half = ci(vals)
+    assert 0 < half < 0.2
+    assert custom_format(0.123456) == '0.12'
+    assert 'e' in custom_format(1.2e-4)
+    assert custom_format(0.0) == '0.00'
+
+
+def test_grid_points_subsample_deterministic():
+    space = {'a': [1, 2, 3], 'b': [10, 20]}
+    full = grid_points(space)
+    assert len(full) == 6
+    sub1 = grid_points(space, n_trials=3, seed=4)
+    sub2 = grid_points(space, n_trials=3, seed=4)
+    assert sub1 == sub2 and len(sub1) == 3
+    for p in sub1:
+        assert p in full
+
+
+def test_tune_insite_lam():
+    from insite_tpu.data import PkpdDatasetCollection
+    from insite_tpu.models.sindy import SINDyConfig, SINDyRegressor
+    coll = PkpdDatasetCollection(
+        conf_coeff=2.0, num_patients={'train': 60, 'val': 12, 'test': 4},
+        equation_str='EQ_4_D', seed=0)
+    coll.process_data_multi()
+    cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                      sindy_alpha=0.5, lam=10.0, insite=True,
+                      bfgs_maxiter=20)
+    model = SINDyRegressor(cfg, coll).fit(coll.train_f)
+    grid = (0.0, 10.0, 1000.0)
+    best, scores = tune_insite_lam(model, coll.val_f, lam_grid=grid)
+    assert set(scores) == set(grid)
+    assert best == min(scores, key=scores.get)
+    assert model.cfg.lam == best
+    assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_dataset_cache_roundtrip(tmp_path, monkeypatch):
+    from insite_tpu.harness import cache
+    monkeypatch.setattr(cache, 'CACHE_DIR', str(tmp_path))
+    from insite_tpu.data import PkpdDatasetCollection
+    coll = PkpdDatasetCollection(
+        conf_coeff=2.0, num_patients={'train': 8, 'val': 4, 'test': 2},
+        equation_str='EQ_4_A', seed=0)
+    key = ('EQ_4_A', 'multiclass', 0, 2.0)
+    cache.put_cached(key, coll)
+    back = cache.get_cached(key)
+    assert back is not None
+    np.testing.assert_array_equal(back.train_f.data['cancer_volume'],
+                                  coll.train_f.data['cancer_volume'])
+    assert cache.get_cached(('missing',)) is None
+
+
+def test_sweep_fault_isolation(monkeypatch, tmp_path):
+    """A run that raises becomes an errored row, not a crashed sweep
+    (run.py:159-169)."""
+    import insite_tpu.harness.runner as runner_mod
+
+    def boom(*a, **k):
+        raise RuntimeError('injected failure')
+
+    monkeypatch.setattr(runner_mod, 'run_experiment', boom)
+    cfg = RunConfig(methods=('sindy',), datasets=('EQ_4_D',), seed_runs=1,
+                    debug_mode=False, **TINY)
+    df, tables = runner_mod.sweep(cfg, Experiment.MAIN_TABLE)
+    assert len(df) == 1
+    assert bool(df.iloc[0]['errored'])
