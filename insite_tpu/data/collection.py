@@ -112,7 +112,8 @@ class PkpdDatasetCollection(DatasetCollection):
                  seed: int, window_size=15, max_seq_length=60,
                  projection_horizon=5, lag=0,
                  cf_seq_mode='sliding_treatment',
-                 treatment_mode='multiclass', dtype=None, **kwargs):
+                 treatment_mode='multiclass', dtype=None, noise_scale=1.0,
+                 **kwargs):
         super().__init__()
         import jax.numpy as jnp
         dtype = dtype or (jnp.float64 if jax.config.read('jax_enable_x64')
@@ -132,6 +133,11 @@ class PkpdDatasetCollection(DatasetCollection):
             params = pkpd.generate_params(
                 n, conf_coeff=conf_coeff, window_size=window_size, lag=lag,
                 key=sub, equation=self.equation, dtype=dtype)
+            if 'observation_noise' in params:
+                # INSIGHT_NOISE sweep: scale the observation-noise std of
+                # the B/C/D variants
+                params['observation_noise'] = \
+                    params['observation_noise'] * noise_scale
             key, sub = jax.random.split(key)
             if mode == 'factual':
                 data = pkpd.simulate_factual(params, max_seq_length, sub,

@@ -36,6 +36,11 @@ class RunConfig:
     datasets: tuple = ('cancer_sim', 'EQ_5_A', 'EQ_5_B', 'EQ_5_C', 'EQ_5_D',
                        'EQ_4_A', 'EQ_4_B', 'EQ_4_C', 'EQ_4_D')
     domain_confs: tuple = (0, 1, 2, 3, 4)
+    # INSIGHT_NOISE: observation-noise std multipliers swept on EQ_4_B
+    noise_scales: tuple = (0.0, 0.5, 1.0, 2.0, 5.0)
+    # INSIGHT_LESS_SAMPLES: train-cohort sizes swept on EQ_4_D
+    train_sample_grid: tuple = (50, 100, 250, 500, 1000)
+    noise_scale: float = 1.0
     experiment: str = 'MAIN_TABLE'
     gnet_mc_samples: int = 25
     cf_seq_mode: str = 'sliding_treatment'

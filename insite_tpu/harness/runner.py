@@ -57,7 +57,8 @@ def _collection_for(dataset_name, method_name, seed, domain_conf,
     num_patients = {'train': cfg.train_samples, 'val': cfg.val_samples,
                     'test': cfg.test_samples}
     key = (dataset_name, treatment_mode, seed, float(domain_conf),
-           tuple(sorted(num_patients.items())), cfg.cf_seq_mode)
+           tuple(sorted(num_patients.items())), cfg.cf_seq_mode,
+           cfg.noise_scale)
     if cfg.load_from_cache and not cfg.force_recache:
         from insite_tpu.harness.cache import get_cached
         coll = get_cached(key)
@@ -66,7 +67,8 @@ def _collection_for(dataset_name, method_name, seed, domain_conf,
     coll = make_collection(dataset_name, num_patients, seed,
                            coeff=float(domain_conf),
                            treatment_mode=treatment_mode,
-                           cf_seq_mode=cfg.cf_seq_mode)
+                           cf_seq_mode=cfg.cf_seq_mode,
+                           noise_scale=cfg.noise_scale)
     if cfg.load_from_cache or cfg.force_recache:
         from insite_tpu.harness.cache import put_cached
         put_cached(key, coll)
@@ -199,15 +201,37 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
                 for method_name in cfg.methods:
                     args_for_runs.append(('EQ_4_D', method_name, seed,
                                           domain_conf))
+    elif experiment == Experiment.INSIGHT_NOISE:
+        # observation-noise robustness sweep on the noisy EQ_4 variant
+        for seed in range(cfg.seed_start, cfg.seed_start + cfg.seed_runs):
+            for noise_scale in cfg.noise_scales:
+                for method_name in cfg.methods:
+                    args_for_runs.append(('EQ_4_B', method_name, seed,
+                                          cfg.domain_conf,
+                                          {'noise_scale': noise_scale}))
+    elif experiment == Experiment.INSIGHT_LESS_SAMPLES:
+        # sample-efficiency sweep on EQ_4_D
+        for seed in range(cfg.seed_start, cfg.seed_start + cfg.seed_runs):
+            for n_train in cfg.train_sample_grid:
+                for method_name in cfg.methods:
+                    args_for_runs.append(('EQ_4_D', method_name, seed,
+                                          cfg.domain_conf,
+                                          {'train_samples': n_train}))
 
     results = []
     for args in args_for_runs:
-        dataset_name, method_name, seed, domain_conf = args
+        dataset_name, method_name, seed, domain_conf = args[:4]
+        overrides = args[4] if len(args) > 4 else {}
+        run_cfg = cfg
+        if overrides:
+            from dataclasses import replace
+            run_cfg = replace(cfg, **overrides)
         log.info(f'[Now evaluating exp] {args}')
         try:
             result = run_experiment(dataset_name, method_name, seed,
-                                    domain_conf, cfg, experiment)
+                                    domain_conf, run_cfg, experiment)
             result['errored'] = False
+            result.update(overrides)
         except Exception as e:          # fault wall (run.py:159-169)
             if cfg.debug_mode:
                 raise

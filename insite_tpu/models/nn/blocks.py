@@ -150,11 +150,15 @@ class VariationalLSTM(nn.Module):
             W_hh = self.param(f'w_hh_{layer}', shifted, (H, 4 * H))
             b = self.param(f'b_{layer}', shifted, (4 * H,))
 
+            # the scan carry must match the gate computation's promoted
+            # dtype (x @ W), not init_states' (e.g. f32 adapter output
+            # feeding an f64 sequence under the x64 test backend)
+            comp_dtype = jnp.result_type(h.dtype, W_ih.dtype)
             if init_states is None:
-                hx = jnp.zeros((B, H), x.dtype)
-                cx = jnp.zeros((B, H), x.dtype)
+                hx = jnp.zeros((B, H), comp_dtype)
+                cx = jnp.zeros((B, H), comp_dtype)
             else:
-                hx = cx = init_states
+                hx = cx = init_states.astype(comp_dtype)
             if train and self.dropout_rate > 0.0:
                 rng = self.make_rng('dropout')
                 keys = jax.random.split(rng, 3)

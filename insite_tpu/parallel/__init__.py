@@ -1,2 +1,2 @@
-from insite_tpu.parallel.mesh import (batch_mesh, pad_rows, shard_rows,
-                                      unpad_rows)
+from insite_tpu.parallel.mesh import (batch_mesh, pad_rows, row_mask,
+                                      shard_rows, unpad_rows)

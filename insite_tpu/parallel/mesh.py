@@ -38,6 +38,17 @@ def unpad_rows(x, n: int):
     return x[:n]
 
 
+def row_mask(n: int, mesh: Mesh, axis_name: str = 'batch'):
+    """Sharded 0/1 validity mask for rows padded by shard_rows: 1.0 for the
+    first n (real) rows, 0.0 for padding.  Use as the sample weight of any
+    cross-row reduction (e.g. the STLSQ gram accumulation) so padded rows
+    contribute nothing."""
+    n_dev = mesh.devices.size
+    total = n + ((-n) % n_dev)
+    mask = (jnp.arange(total) < n).astype(jnp.float32)
+    return jax.device_put(mask, NamedSharding(mesh, P(axis_name)))
+
+
 def shard_rows(tree, mesh: Mesh, axis_name: str = 'batch'):
     """Pad every leaf's leading axis to the mesh size and place it with a
     batch-axis NamedSharding; returns (sharded tree, original row count)."""

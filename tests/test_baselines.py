@@ -1,0 +1,126 @@
+"""Neural/classical baseline smoke + determinism tests.
+
+The reference ships exactly one pytest integration test — CT trained twice
+must produce identical metrics (libs_m/ct/tests/test_ct_cancer.py:7-23).
+We reproduce that under jax PRNG discipline and extend it with per-method
+smoke tests (finite metrics, correct shapes) on a tiny EQ_4 cohort."""
+
+import numpy as np
+import pytest
+
+from insite_tpu.data import PkpdDatasetCollection
+
+TINY = {'train': 32, 'val': 8, 'test': 6}
+SEQ = 20
+
+
+def make_coll(treatment_mode='multilabel'):
+    c = PkpdDatasetCollection(
+        conf_coeff=2.0, num_patients=dict(TINY), equation_str='EQ_4_D',
+        seed=0, max_seq_length=SEQ, treatment_mode=treatment_mode)
+    return c
+
+
+def dims(coll):
+    d = coll.train_f.data
+    return dict(dim_outcome=d['outputs'].shape[-1],
+                dim_treatments=d['current_treatments'].shape[-1],
+                dim_static_features=d['static_features'].shape[-1])
+
+
+def _eval(model, coll):
+    orig, all_, last = model.get_normalised_masked_rmse(
+        coll.test_cf_one_step, one_step_counterfactual=True)
+    n_step = np.asarray(
+        model.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
+    return orig, all_, last, n_step
+
+
+@pytest.fixture(scope='module')
+def coll_multi():
+    c = make_coll()
+    c.process_data_multi()
+    return c
+
+
+def test_ct_smoke_and_determinism(coll_multi):
+    """train twice with the same seed -> identical metrics
+    (test_ct_cancer.py:7-23)."""
+    from insite_tpu.models.ct import CausalTransformer, CTConfig
+
+    def run():
+        cfg = CTConfig(epochs=2, seed=0, treatment_mode='multilabel',
+                       batch_size=16, **dims(coll_multi))
+        m = CausalTransformer(cfg, coll_multi)
+        m.fit(coll_multi.train_f, coll_multi.val_f)
+        return _eval(m, coll_multi)
+
+    o1, a1, l1, n1 = run()
+    o2, a2, l2, n2 = run()
+    assert np.isfinite([o1, a1, l1]).all() and np.isfinite(n1).all()
+    assert n1.shape == (5,)
+    assert (o1, a1, l1) == (o2, a2, l2)
+    np.testing.assert_array_equal(n1, n2)
+
+
+def test_gnet_smoke(coll_multi):
+    from insite_tpu.models.gnet import GNet, GNetConfig
+    import copy
+    coll = copy.deepcopy(coll_multi)
+    cfg = GNetConfig(epochs=2, seed=0, mc_samples=2, batch_size=16,
+                     **dims(coll))
+    m = GNet(cfg, coll)
+    m.fit(coll.train_f, coll.val_f)
+    orig, all_, last, n_step = _eval(m, coll)
+    assert np.isfinite([orig, all_, last]).all()
+    assert np.isfinite(n_step).all() and n_step.shape == (5,)
+
+
+def test_msm_smoke(coll_multi):
+    from insite_tpu.models.msm import MSM, MSMConfig
+    import copy
+    coll = copy.deepcopy(coll_multi)
+    m = MSM(MSMConfig(**dims(coll)), coll)
+    m.fit(coll.train_f, coll.val_f)
+    orig, all_, last, n_step = _eval(m, coll)
+    assert np.isfinite([orig, all_, last]).all()
+    assert np.isfinite(n_step).all() and n_step.shape == (5,)
+
+
+def test_crn_smoke():
+    from insite_tpu.models.crn import CRN, CRNConfig
+    coll = make_coll()
+    coll.process_data_encoder()
+    cfg = CRNConfig(epochs=2, seed=0, treatment_mode='multilabel',
+                    enc_batch_size=16, dec_batch_size=16, **dims(coll))
+    m = CRN(cfg, coll)
+    m.fit(coll.train_f, coll.val_f)
+    orig, all_, last, n_step = _eval(m, coll)
+    assert np.isfinite([orig, all_, last]).all()
+    assert np.isfinite(n_step).all() and n_step.shape == (5,)
+
+
+def test_edct_smoke():
+    from insite_tpu.models.edct import EDCT, EDCTConfig
+    coll = make_coll()
+    coll.process_data_encoder()
+    cfg = EDCTConfig(epochs=2, seed=0, treatment_mode='multilabel',
+                     **dims(coll))
+    m = EDCT(cfg, coll)
+    m.fit(coll.train_f, coll.val_f)
+    orig, all_, last, n_step = _eval(m, coll)
+    assert np.isfinite([orig, all_, last]).all()
+    assert np.isfinite(n_step).all() and n_step.shape == (5,)
+
+
+def test_rmsn_smoke():
+    from insite_tpu.models.rmsn import RMSN, RMSNConfig
+    coll = make_coll()
+    coll.process_data_encoder()
+    cfg = RMSNConfig(epochs=2, seed=0, treatment_mode='multilabel',
+                     **dims(coll))
+    m = RMSN(cfg, coll)
+    m.fit(coll.train_f, coll.val_f)
+    orig, all_, last, n_step = _eval(m, coll)
+    assert np.isfinite([orig, all_, last]).all()
+    assert np.isfinite(n_step).all() and n_step.shape == (5,)
