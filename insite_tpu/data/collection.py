@@ -105,6 +105,59 @@ class DatasetCollection:
                 self.test_cf_treatment_seq_mc.append(copy)
 
 
+class RealDatasetCollection(DatasetCollection):
+    """Factual-only collection (train_f / val_f / test_f) for observational
+    data without counterfactual ground truth — e.g. MIMIC-style EHR cohorts
+    (reference: dataset_collection.py:113-205).  Takes already-processed
+    SeqDatasets; test evaluation uses exploded factual trajectories.
+    """
+
+    def __init__(self, train_f: SeqDataset, val_f: SeqDataset,
+                 test_f: SeqDataset, projection_horizon: int = 5,
+                 treatment_mode: str = 'multiclass', seed: int = 0):
+        super().__init__()
+        self.train_f, self.val_f, self.test_f = train_f, val_f, test_f
+        # the evaluation entry points expect these aliases: both test views
+        # are the factual test set for real data
+        self.test_cf_one_step = test_f
+        self.test_cf_treatment_seq = None
+        self.projection_horizon = projection_horizon
+        self.treatment_mode = treatment_mode
+        self.seed = seed
+
+    def _process(self, ds, include_continuous_treatment=False):
+        assert ds.processed, ('RealDatasetCollection expects pre-processed '
+                              'SeqDatasets (unified keys already built)')
+
+    def process_data_multi(self, include_continuous_treatment=False):
+        """Used by CT (dataset_collection.py:169-181): n-step evaluation on
+        exploded factual test trajectories."""
+        self.test_f_multi = deepcopy(self.test_f)
+        self.test_f_multi.explode_trajectories(self.projection_horizon)
+        self.test_f_multi.process_sequential_test(self.projection_horizon)
+        self.test_f_multi.process_sequential_multi(self.projection_horizon)
+        self.test_cf_treatment_seq = self.test_f_multi
+        self.processed_data_multi = True
+
+    def process_data_decoder(self, encoder, save_encoder_r=False):
+        """Used by CRN, RMSN, EDCT (dataset_collection.py:148-168)."""
+        self.test_f.explode_trajectories(self.projection_horizon)
+        r_train = encoder.get_representations(self.train_f)
+        r_val = encoder.get_representations(self.val_f)
+        r_test = encoder.get_representations(self.test_f)
+        out_test = encoder.get_predictions(self.test_f)
+        self.train_f.process_sequential(r_train, self.projection_horizon,
+                                        save_encoder_r)
+        self.val_f.process_sequential(r_val, self.projection_horizon,
+                                      save_encoder_r)
+        self.test_f.process_sequential_test(self.projection_horizon, r_test,
+                                            save_encoder_r)
+        self.test_f.process_autoregressive_test(
+            r_test, out_test, self.projection_horizon, save_encoder_r)
+        self.test_cf_treatment_seq = self.test_f
+        self.processed_data_decoder = True
+
+
 class PkpdDatasetCollection(DatasetCollection):
     """EQ_4 family collection (pkpd/dataset.py:557-607)."""
 

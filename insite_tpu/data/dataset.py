@@ -82,6 +82,8 @@ class SeqDataset:
             'active_entries': prefix(d['active_entries']),
             'sequence_lengths': (row_t + 1).astype(np.float64),
         }
+        if 'current_covariates' in d:
+            new['current_covariates'] = prefix(d['current_covariates'])
         new['unscaled_outputs'] = (new['outputs'] *
                                    self.scaling_params['output_stds'] +
                                    self.scaling_params['output_means'])

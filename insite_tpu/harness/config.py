@@ -50,6 +50,8 @@ class RunConfig:
     flush_mode: bool = False
     debug_mode: bool = True
     log_dir: str = 'logs'
+    # JSONL metrics sink (mirrored to MLflow when available; '' disables)
+    metrics_jsonl: str = 'logs/metrics.jsonl'
 
     def flush(self):
         """CI fast path (run.py:71-81)."""

@@ -1,0 +1,90 @@
+"""Figure toolkit: n-step RMSE curves and confounding-sweep graphs
+(clean re-expression of the reference's plotting helpers,
+utils/results_utils.py:393+, which mix dead research code with seaborn
+styling — here: plain matplotlib over the same aggregated DataFrames)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from insite_tpu.harness.results import (DATASET_NAME_MAP, METHOD_NAME_MAP,
+                                        ci)
+
+
+def _agg(df, group_cols, use_95_ci=True):
+    err = ci if use_95_ci else np.std
+    num = df.select_dtypes('number')
+    keep = [c for c in df.columns if c in group_cols or c in num.columns]
+    g = df[keep].groupby(group_cols)
+    return g.mean(), g.agg(err), ('ci' if use_95_ci else 'std')
+
+
+def plot_n_step_rmses(df_results, out_path: str, use_95_ci=True):
+    """One panel per dataset: mean +- CI of the 2..6-step decoder RMSE per
+    method, horizon on the x axis."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    df = df_results[~df_results.get('errored', False).astype(bool)] \
+        if 'errored' in df_results.columns else df_results
+    step_cols = sorted([c for c in df.columns if 'decoder_test_rmse' in c],
+                       key=lambda c: int(c.split('_')[-1].split('-')[0]))
+    if not step_cols:
+        raise ValueError('no decoder_test_rmse_<k>-step columns found')
+    steps = [int(c.split('_')[-1].split('-')[0]) for c in step_cols]
+    datasets = list(df.dataset_name.unique())
+
+    means, errs, _ = _agg(df, ['dataset_name', 'method_name'], use_95_ci)
+    fig, axes = plt.subplots(1, len(datasets),
+                             figsize=(4 * len(datasets), 3.2), squeeze=False)
+    for ax, ds in zip(axes[0], datasets):
+        for method in df.method_name.unique():
+            try:
+                m = means.loc[(ds, method), step_cols].to_numpy(float)
+                e = errs.loc[(ds, method), step_cols].to_numpy(float)
+            except KeyError:
+                continue
+            label = METHOD_NAME_MAP.get(method, method).replace(r'\bf ', '')
+            ax.plot(steps, m, '--o', label=label)
+            ax.fill_between(steps, m - np.nan_to_num(e),
+                            m + np.nan_to_num(e), alpha=0.25)
+        ax.set_title(DATASET_NAME_MAP.get(ds, ds))
+        ax.set_xlabel('prediction horizon (steps)')
+        ax.set_ylabel('normalized RMSE (%)')
+    axes[0][0].legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def plot_confounding_sweep(df_results, out_path: str,
+                           metric='encoder_test_rmse_orig', use_95_ci=True):
+    """RMSE vs confounding strength gamma (the INSIGHT_CONFOUNDING figure)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    df = df_results[~df_results.get('errored', False).astype(bool)] \
+        if 'errored' in df_results.columns else df_results
+    means, errs, _ = _agg(df, ['method_name', 'domain_conf'], use_95_ci)
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    for method in df.method_name.unique():
+        sub_m = means.loc[method][metric]
+        sub_e = errs.loc[method][metric]
+        gammas = sub_m.index.to_numpy(float)
+        label = METHOD_NAME_MAP.get(method, method).replace(r'\bf ', '')
+        ax.plot(gammas, sub_m.to_numpy(float), '--o', label=label)
+        ax.fill_between(gammas,
+                        sub_m.to_numpy(float) -
+                        np.nan_to_num(sub_e.to_numpy(float)),
+                        sub_m.to_numpy(float) +
+                        np.nan_to_num(sub_e.to_numpy(float)), alpha=0.25)
+    ax.set_xlabel(r'confounding strength $\gamma$')
+    ax.set_ylabel(f'{metric} (%)')
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path

@@ -170,6 +170,14 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
         results['fine_tuned'] = getattr(model, 'insite', False)
     results.update({'method': method_name, 'seed': seed,
                     'seconds_taken': time.perf_counter() - t0})
+    if cfg.metrics_jsonl:
+        from insite_tpu.harness.metrics_logger import MetricsLogger
+        ml = MetricsLogger(cfg.metrics_jsonl,
+                           run_name=f'{method_name}-{dataset_name}-{seed}')
+        ml.log_params({'dataset_name': dataset_name, 'method': method_name,
+                       'seed': seed, 'domain_conf': domain_conf})
+        ml.log_metrics(results)
+        ml.finish()
     return results
 
 

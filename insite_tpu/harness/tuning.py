@@ -43,7 +43,8 @@ def tune_insite_lam(model, val_f, lam_grid=INSITE_LAM_GRID,
     winner and returns (best_lam, {lam: rmse_all}).
     """
     from insite_tpu.eval.metrics import normalised_masked_rmse
-    from insite_tpu.models.sindy import insite_finetune_predict
+    from insite_tpu.models.sindy import (insite_finetune_predict,
+                                         insite_gn_finetune_predict)
 
     cfg = model.cfg
     prev, statics, arms, lengths = model._rollout_args(val_f)
@@ -54,6 +55,11 @@ def tune_insite_lam(model, val_f, lam_grid=INSITE_LAM_GRID,
     grid = jnp.asarray(lam_grid, prev.dtype)
 
     def eval_lam(lam):
+        if cfg.insite_solver == 'gauss_newton':
+            return insite_gn_finetune_predict(
+                model.library, coefs, prev, statics, arms, lengths,
+                model.dt, lam, projection_horizon=projection_horizon,
+                joint=cfg.joint_model, gn_iters=cfg.gn_iters)
         return insite_finetune_predict(
             model.library, coefs, prev, statics, arms, lengths, model.dt,
             lam, projection_horizon=projection_horizon,

@@ -11,6 +11,7 @@ counterfactual generators (:440-453, :640-653).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.stats import truncnorm
@@ -163,7 +164,8 @@ def simulate_factual(simulation_params, seq_length: int, key=None,
     out = factual_core(params, rvs, seq_length,
                        int(simulation_params['window_size']),
                        int(simulation_params['lag']))
-    out = {k: np.asarray(v) for k, v in out.items()}
+    out = jax.device_get(out)   # one batched async fetch (link stalls on
+    out = dict(out)             # serial per-array pulls)
     out['patient_types'] = np.asarray(simulation_params['patient_types'])
     if extra_noise:   # EQ_5 B/C/D observation noise (continuous.py:365-367)
         out['cancer_volume'] = out['cancer_volume'] + \
@@ -183,10 +185,11 @@ def simulate_counterfactual_1_step(simulation_params, seq_length: int,
     fact = cf_factual_core(params, rvs, seq_length,
                            int(simulation_params['window_size']),
                            int(simulation_params['lag']))
-    vol_rows, chemo_rows, radio_rows, seq_lengths, valid = cf_one_step_rows(
-        params, fact, rvs['noise'], seq_length)
+    (vol_rows, chemo_rows, radio_rows, seq_lengths,
+     valid) = jax.device_get(cf_one_step_rows(
+        params, fact, rvs['noise'], seq_length))
 
-    valid = np.asarray(valid).reshape(-1)
+    valid = valid.reshape(-1)
     T = seq_length
 
     def flat(x):
@@ -254,10 +257,11 @@ def simulate_counterfactuals_treatment_seq(simulation_params,
         raise NotImplementedError(cf_seq_mode)
 
     (vol_rows, chemo_rows, radio_rows, dose_rows, seq_lengths,
-     valid) = cf_seq_rows(params, fact, jnp.asarray(plans, dtype),
-                          rvs['noise'], seq_length, ph)
+     valid) = jax.device_get(
+        cf_seq_rows(params, fact, jnp.asarray(plans, dtype),
+                    rvs['noise'], seq_length, ph))
 
-    valid = np.asarray(valid).reshape(-1)
+    valid = valid.reshape(-1)
     rows_pp = (seq_length - 1) * 2 * ph
     patient_ids = np.repeat(np.arange(n), rows_pp)[valid]
     current_t = np.tile(np.repeat(np.arange(seq_length - 1), 2 * ph),

@@ -220,12 +220,17 @@ def simulate_factual(params, seq_length: int, key, equation: Equation,
     add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
     volumes, treatments, seq_lengths = _simulate_factual_full(
         params, key, seq_length, add_noise, dtype=dtype)
+    # one batched async fetch — the remote-TPU link stalls multi-second on
+    # serial synchronous per-array pulls (np.asarray), device_get prefetches
+    (volumes, treatments, seq_lengths, statics0, statics1) = jax.device_get(
+        (volumes, treatments, seq_lengths,
+         params['observed_static_c_0'], params['observed_static_c_1']))
     out = {
-        'cancer_volume': np.asarray(volumes),
-        'treatment_application': np.asarray(treatments),
-        'sequence_lengths': np.asarray(seq_lengths),
-        'observed_static_c_0': np.asarray(params['observed_static_c_0']),
-        'observed_static_c_1': np.asarray(params['observed_static_c_1']),
+        'cancer_volume': volumes,
+        'treatment_application': treatments,
+        'sequence_lengths': seq_lengths,
+        'observed_static_c_0': statics0,
+        'observed_static_c_1': statics1,
     }
     assert not np.any(np.isnan(out['cancer_volume']))
     return out
@@ -294,16 +299,15 @@ def simulate_counterfactual_1_step(params, seq_length: int, key,
                                    dtype=None) -> dict:
     dtype = dtype or default_float()
     add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
-    volumes, actions, seq_lengths, statics0, statics1 = \
+    volumes, actions, seq_lengths, statics0, statics1 = jax.device_get(
         _simulate_cf_1_step_full(params, key, seq_length, add_noise,
-                                 dtype=dtype)
+                                 dtype=dtype))
     out = {
-        'cancer_volume': np.asarray(volumes.reshape(-1, volumes.shape[-1])),
-        'treatment_application':
-            np.asarray(actions.reshape(-1, actions.shape[-1])),
-        'sequence_lengths': np.asarray(seq_lengths.reshape(-1)),
-        'observed_static_c_0': np.asarray(statics0),
-        'observed_static_c_1': np.asarray(statics1),
+        'cancer_volume': volumes.reshape(-1, volumes.shape[-1]),
+        'treatment_application': actions.reshape(-1, actions.shape[-1]),
+        'sequence_lengths': seq_lengths.reshape(-1),
+        'observed_static_c_0': statics0,
+        'observed_static_c_1': statics1,
     }
     assert not np.any(np.isnan(out['cancer_volume']))
     return out
@@ -377,16 +381,15 @@ def simulate_counterfactuals_treatment_seq(params, seq_length: int,
     dtype = dtype or default_float()
     assert cf_seq_mode in ('sliding_treatment', 'random_trajectories')
     add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
-    volumes, actions, seq_lengths, statics0, statics1 = \
+    volumes, actions, seq_lengths, statics0, statics1 = jax.device_get(
         _simulate_cf_seq_full(params, key, seq_length, projection_horizon,
-                              cf_seq_mode, add_noise, dtype=dtype)
+                              cf_seq_mode, add_noise, dtype=dtype))
     out = {
-        'cancer_volume': np.asarray(volumes.reshape(-1, volumes.shape[-1])),
-        'treatment_application':
-            np.asarray(actions.reshape(-1, actions.shape[-1])),
-        'sequence_lengths': np.asarray(seq_lengths.reshape(-1)),
-        'observed_static_c_0': np.asarray(statics0),
-        'observed_static_c_1': np.asarray(statics1),
+        'cancer_volume': volumes.reshape(-1, volumes.shape[-1]),
+        'treatment_application': actions.reshape(-1, actions.shape[-1]),
+        'sequence_lengths': seq_lengths.reshape(-1),
+        'observed_static_c_0': statics0,
+        'observed_static_c_1': statics1,
     }
     assert not np.any(np.isnan(out['cancer_volume']))
     return out

@@ -51,6 +51,24 @@ def test_sindy_n_step_rmse(collection, sindy_model):
     assert np.all(rmses < 0.5)  # reference: 0.148
 
 
+def test_gn_solver_matches_or_beats_bfgs(collection):
+    """The default Gauss-Newton fine-tuner optimises the same objective as
+    the reference's BFGS (sindy.py:627) — predictions must be at least as
+    good on the factual fit."""
+    import numpy as np
+    from insite_tpu.eval.metrics import normalised_masked_rmse
+    rmse = {}
+    for solver in ('gauss_newton', 'bfgs'):
+        cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                          sindy_alpha=0.5, lam=10.0, insite=True,
+                          insite_solver=solver, bfgs_maxiter=100)
+        m = SINDyRegressor(cfg, collection).fit(collection.train_f)
+        preds = m._fine_tuned_rollout(collection.val_f, projection_horizon=1)
+        rmse[solver], _ = normalised_masked_rmse(collection.val_f,
+                                                 np.asarray(preds))
+    assert rmse['gauss_newton'] <= rmse['bfgs'] * 1.05
+
+
 def test_insite_beats_global_sindy(collection, sindy_model):
     cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
                       sindy_alpha=0.5, lam=10.0, insite=True)

@@ -1,0 +1,92 @@
+"""Tests for the aux subsystems: metrics logging, profiling helpers,
+figure toolkit, and the real-data collection (SURVEY.md §5)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    from insite_tpu.harness.metrics_logger import MetricsLogger
+    path = str(tmp_path / 'metrics.jsonl')
+    ml = MetricsLogger(path, run_name='test-run')
+    ml.log_params({'lam': 10.0, 'nested': {'a': 1}, 'multi': {'b': 2}},
+                  submodel='multi')
+    ml.log_metrics({'val_rmse_all': 0.5, 'skipped_str': 'x'}, step=3)
+    ml.finish()
+    recs = [json.loads(line) for line in open(path)]
+    assert len(recs) == 2
+    assert recs[0]['kind'] == 'params'
+    assert 'nested' not in recs[0]          # filtered: other submodel
+    assert 'multi' in recs[0]
+    assert recs[1] == pytest.approx(
+        {**recs[1], 'val_rmse_all': 0.5, 'step': 3})
+    assert 'skipped_str' not in recs[1]
+
+
+def test_time_blocked():
+    import jax.numpy as jnp
+    from insite_tpu.utils import time_blocked
+    secs, result = time_blocked(lambda x: jnp.sum(x * 2), jnp.ones(16),
+                                reps=2)
+    assert secs >= 0
+    assert float(result) == 32.0
+
+
+def test_plots_render(tmp_path):
+    from insite_tpu.harness.plots import (plot_confounding_sweep,
+                                          plot_n_step_rmses)
+    rows = []
+    for method in ('insite', 'ct'):
+        for seed in range(3):
+            for gamma in (0.0, 2.0):
+                rows.append({
+                    'dataset_name': 'EQ_4_D', 'method_name': method,
+                    'seed': seed, 'domain_conf': gamma, 'errored': False,
+                    'encoder_test_rmse_orig': np.random.rand(),
+                    **{f'decoder_test_rmse_{k}-step': np.random.rand()
+                       for k in range(2, 7)}})
+    df = pd.DataFrame(rows)
+    p1 = plot_n_step_rmses(df, str(tmp_path / 'nstep.png'))
+    p2 = plot_confounding_sweep(df, str(tmp_path / 'conf.png'))
+    assert os.path.getsize(p1) > 1000
+    assert os.path.getsize(p2) > 1000
+
+
+def test_real_dataset_collection():
+    """Factual-only collection drives CT end-to-end without counterfactual
+    ground truth (dataset_collection.py:113-205)."""
+    import copy
+    from insite_tpu.data import PkpdDatasetCollection
+    from insite_tpu.data.collection import RealDatasetCollection
+
+    syn = PkpdDatasetCollection(
+        conf_coeff=2.0, num_patients={'train': 24, 'val': 8, 'test': 6},
+        equation_str='EQ_4_D', seed=0, max_seq_length=16,
+        treatment_mode='multilabel')
+    syn.process_data_encoder()   # processes train/val/test_cf_one_step
+    real = RealDatasetCollection(
+        train_f=copy.deepcopy(syn.train_f), val_f=copy.deepcopy(syn.val_f),
+        test_f=copy.deepcopy(syn.test_cf_one_step),
+        projection_horizon=5, treatment_mode='multilabel')
+    real.process_data_multi()
+    assert real.processed_data_multi
+    d = real.test_f_multi.data
+    assert 'future_past_split' in d
+
+    from insite_tpu.models.ct import CausalTransformer, CTConfig
+    dd = real.train_f.data
+    cfg = CTConfig(epochs=1, seed=0, treatment_mode='multilabel',
+                   batch_size=8,
+                   dim_outcome=dd['outputs'].shape[-1],
+                   dim_treatments=dd['current_treatments'].shape[-1],
+                   dim_static_features=dd['static_features'].shape[-1])
+    m = CausalTransformer(cfg, real)
+    m.fit(real.train_f, real.val_f)
+    orig, all_ = m.get_normalised_masked_rmse(real.test_f)
+    assert np.isfinite([orig, all_]).all()
+    n_step = m.get_normalised_n_step_rmses(real.test_cf_treatment_seq)
+    assert np.isfinite(np.asarray(n_step)).all()
