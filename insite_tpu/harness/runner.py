@@ -168,6 +168,13 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
     if hasattr(model, 'global_equation_string'):
         results['global_equation_string'] = model.global_equation_string
         results['fine_tuned'] = getattr(model, 'insite', False)
+    if experiment == Experiment.INSIGHT_RECOVER_PARAMETRIC_DIST and \
+            method_name == 'insite':
+        # per-patient coefficient distribution on the validation cohort
+        # (the reference only debug-printed these, sindy.py:679-683)
+        c = model.get_fine_tuned_coefficients(coll.val_f)
+        results['coef_mean'] = np.mean(c, axis=0).round(6).tolist()
+        results['coef_std'] = np.std(c, axis=0).round(6).tolist()
     results.update({'method': method_name, 'seed': seed,
                     'seconds_taken': time.perf_counter() - t0})
     if cfg.metrics_jsonl:

@@ -59,12 +59,12 @@ def tune_insite_lam(model, val_f, lam_grid=INSITE_LAM_GRID,
             return insite_gn_finetune_predict(
                 model.library, coefs, prev, statics, arms, lengths,
                 model.dt, lam, projection_horizon=projection_horizon,
-                joint=cfg.joint_model, gn_iters=cfg.gn_iters)
+                joint=cfg.joint_model, gn_iters=cfg.gn_iters)[0]
         return insite_finetune_predict(
             model.library, coefs, prev, statics, arms, lengths, model.dt,
             lam, projection_horizon=projection_horizon,
             joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol,
-            bfgs_maxiter=cfg.bfgs_maxiter)
+            bfgs_maxiter=cfg.bfgs_maxiter)[0]
 
     preds_g = jax.vmap(eval_lam)(grid)          # [G, B, T]
     sp = val_f.scaling_params

@@ -362,7 +362,9 @@ class SINDyRegressor(CausalEstimator):
         sp = dataset.scaling_params
         return ((preds - sp['output_means']) / sp['output_stds'])[..., None]
 
-    def _fine_tuned_rollout(self, dataset, projection_horizon: int):
+    def _fine_tune(self, dataset, projection_horizon: int):
+        """Run the per-patient fine-tune; returns (preds [B, T] device,
+        per-patient coefs [B, A, F] device)."""
         cfg = self.cfg
         prev, statics, arms, lengths = self._rollout_args(dataset)
         if cfg.smooth_input_data:
@@ -370,17 +372,29 @@ class SINDyRegressor(CausalEstimator):
             prev = savgol_smooth(prev, lengths)
         coefs = jnp.asarray(self.coefs)
         if cfg.insite_solver == 'gauss_newton':
-            preds = insite_gn_finetune_predict(
+            return insite_gn_finetune_predict(
                 self.library, coefs, prev, statics, arms, lengths,
                 self.dt, lam=cfg.lam,
                 projection_horizon=projection_horizon,
-                joint=cfg.joint_model, gn_iters=cfg.gn_iters)[:self._n_rows]
-        else:
-            preds = insite_finetune_predict(
-                self.library, coefs, prev, statics, arms, lengths,
-                self.dt, lam=cfg.lam, projection_horizon=projection_horizon,
-                joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol,
-                bfgs_maxiter=cfg.bfgs_maxiter)[:self._n_rows]
+                joint=cfg.joint_model, gn_iters=cfg.gn_iters)
+        return insite_finetune_predict(
+            self.library, coefs, prev, statics, arms, lengths,
+            self.dt, lam=cfg.lam, projection_horizon=projection_horizon,
+            joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol,
+            bfgs_maxiter=cfg.bfgs_maxiter)
+
+    def get_fine_tuned_coefficients(self, dataset,
+                                    projection_horizon: int = 1):
+        """Per-patient fine-tuned coefficient array [B, A, F] — the
+        recovered parametric distribution of individual ODE parameters
+        (the INSIGHT_RECOVER_PARAMETRIC_DIST experiment; the reference only
+        debug-printed these, sindy.py:679-683)."""
+        _, coefs = self._fine_tune(dataset, projection_horizon)
+        return jax.device_get(coefs)[:self._n_rows]
+
+    def _fine_tuned_rollout(self, dataset, projection_horizon: int):
+        preds, _ = self._fine_tune(dataset, projection_horizon)
+        preds = preds[:self._n_rows]
         sp = dataset.scaling_params
         preds = (preds - sp['output_means']) / sp['output_stds']
         preds = jax.device_get(preds)[..., None]
@@ -498,7 +512,7 @@ def insite_finetune_predict(library, global_coefs, prev, statics, arms,
 
         coefs_i = lax.cond(length_i <= projection_horizon,
                            lambda _: global_coefs, do_finetune, operand=None)
-        return rollout(coefs_i)
+        return rollout(coefs_i), coefs_i
 
     return jax.vmap(finetune_row)(prev, statics, arms, lengths)
 
@@ -587,6 +601,6 @@ def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
 
         coefs_i = lax.cond(length_i <= projection_horizon,
                            lambda _: global_coefs, do_finetune, operand=None)
-        return rollout(coefs_i)
+        return rollout(coefs_i), coefs_i
 
     return jax.vmap(finetune_row)(prev, statics, arms, lengths)

@@ -74,13 +74,15 @@ def test_sharded_insite_finetune_matches_unsharded(mesh):
     lengths = jnp.asarray(np.full(B, T, np.int32))
     dt = 1.0 / 6.0
 
-    ref = insite_finetune_predict(lib, coefs, prev, statics, arms, lengths,
-                                  dt, 10.0, projection_horizon=1,
-                                  bfgs_maxiter=10)
+    ref, ref_coefs = insite_finetune_predict(
+        lib, coefs, prev, statics, arms, lengths, dt, 10.0,
+        projection_horizon=1, bfgs_maxiter=10)
 
     tree, n = shard_rows((prev, statics, arms, lengths), mesh)
-    out = insite_finetune_predict(lib, coefs, *tree, dt, 10.0,
-                                  projection_horizon=1, bfgs_maxiter=10)
+    out, out_coefs = insite_finetune_predict(
+        lib, coefs, *tree, dt, 10.0, projection_horizon=1, bfgs_maxiter=10)
+    np.testing.assert_allclose(np.asarray(out_coefs)[:n],
+                               np.asarray(ref_coefs), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
                                rtol=1e-8)
 
