@@ -149,6 +149,19 @@ class _Stage(CausalEstimator):
     def get_representations(self, dataset) -> np.ndarray:
         return self.predict_all(dataset.data)[1]
 
+    def get_attention_maps(self, dataset) -> dict:
+        """Per-layer attention maps {module_path: [B, heads, Tq, Tk]} —
+        the reference's forward-hook visualization (edct.py:194-227) via
+        flax's 'intermediates' collection."""
+        from flax.traverse_util import flatten_dict
+        batch = _device_batch(dataset.data, self.input_keys)
+        _, state = self.net.apply(
+            {'params': self._predict_params()}, batch, 0.0, False, False,
+            mutable=['intermediates'])
+        flat = flatten_dict(state['intermediates'])
+        return {'/'.join(p[:-1]): np.asarray(v[0])
+                for p, v in flat.items() if p[-1] == 'attention'}
+
 
 class CRN(CausalEstimator):
     """Two-stage CRN estimator (encoder + decoder)."""

@@ -288,6 +288,9 @@ class MultiHeadedAttention(nn.Module):
             causal = jnp.tril(jnp.ones((Tq, Tk)))
             scores = jnp.where(causal[None, None] == 0, -1e9, scores)
         p_attn = jax.nn.softmax(scores, axis=-1)
+        # attention-map visualization hook (reference uses forward hooks,
+        # edct.py:194-227); no-op unless 'intermediates' is made mutable
+        self.sow('intermediates', 'attention', p_attn)
         p_attn = nn.Dropout(self.dropout, deterministic=not train)(p_attn)
         out = jnp.einsum('bhqk,bhkd->bhqd', p_attn, v)
         if self.rel_pos_v:

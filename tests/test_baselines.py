@@ -124,3 +124,23 @@ def test_rmsn_smoke():
     orig, all_, last, n_step = _eval(m, coll)
     assert np.isfinite([orig, all_, last]).all()
     assert np.isfinite(n_step).all() and n_step.shape == (5,)
+
+
+def test_edct_attention_maps():
+    """Attention-map extraction — the reference's forward-hook
+    visualization (edct.py:194-227) via the flax intermediates
+    collection."""
+    from insite_tpu.models.edct import EDCT, EDCTConfig
+    coll = make_coll()
+    coll.process_data_encoder()
+    cfg = EDCTConfig(epochs=1, seed=0, treatment_mode='multilabel',
+                     **dims(coll))
+    m = EDCT(cfg, coll)
+    m.fit(coll.train_f, coll.val_f)
+    maps = m.encoder.get_attention_maps(coll.test_cf_one_step)
+    assert maps, 'no attention maps collected'
+    for path, arr in maps.items():
+        B, H, Tq, Tk = arr.shape
+        assert B == len(coll.test_cf_one_step)
+        # rows are softmax distributions
+        np.testing.assert_allclose(arr.sum(-1), 1.0, rtol=1e-4)
