@@ -115,8 +115,11 @@ def _simulate_single(key, n: int, T: int, gamma, obs_noise,
     dt = 10.0 / T
     k_x0, k_p, k_act, k_obs = random.split(key, 4)
     x0 = random.uniform(k_x0, (n, 1), minval=0.0, maxval=10.0)
-    p = _sample_params(k_p, {'c_1': 1.0, 'v': 1.0, 'c_0': -1.0},
-                       {'c_1': 1.0, 'v': 1.0, 'c_0': 1.0},
+    # single family: noise std IS bsv_noise itself (additive: C +
+    # N(0, bsv_noise) * bsv_std with bsv_std=1; fractional:
+    # C * (1 + N(0, bsv_noise)); exp_utils.py:167-176)
+    bsv = {'c_1': bsv_noise, 'v': bsv_noise, 'c_0': bsv_noise}
+    p = _sample_params(k_p, {'c_1': 1.0, 'v': 1.0, 'c_0': -1.0}, bsv,
                        bsv_noise, fractional_weight, n)
 
     def f(x, u):
