@@ -43,7 +43,8 @@ def _test_functions(n_windows: int, window_len: int, t_len: int, seed=0,
 def weak_sindy_fit(volumes, statics, lengths, library, dt,
                    threshold: float, n_windows: int = 100,
                    window_len: int = 20, sr3_iters: int = 1000,
-                   trajectory_mask=None, seed: int = 0):
+                   trajectory_mask=None, seed: int = 0,
+                   solver: str = 'stlsq'):
     """Fit coefficients by weak-form regression + SR3-l1.
 
     volumes: [B, T] padded; statics: [B, S]; lengths: [B] valid lengths.
@@ -81,7 +82,50 @@ def weak_sindy_fit(volumes, statics, lengths, library, dt,
     w = ok_win.reshape(-1).astype(volumes.dtype)
     A = rhs.reshape(-1, rhs.shape[-1])
     b = lhs.reshape(-1)
-    return sr3_l1(A, b, w, threshold, max_iter=sr3_iters)
+    if solver == 'sr3':
+        return sr3_l1(A, b, w, threshold, max_iter=sr3_iters)
+    return weak_stlsq(A, b, w, threshold)
+
+
+@partial(jax.jit, static_argnames=('max_iter',))
+def weak_stlsq(A, b, sample_weight, threshold, alpha: float = 0.5,
+               max_iter: int = 20):
+    """Sequential hard thresholding in *correlation units* on the weak
+    system, then an unbiased raw-space refit on the support.
+
+    The weak system's time-constant columns (bias / static monomials) are
+    near-parallel — every window integrates them to the same shape — so a
+    plain least-squares puts giant canceling coefficients on that near-null
+    space (catastrophically in f32).  Whitening both sides (unit-norm
+    columns AND unit-norm b) makes the ridge alpha and the hard threshold
+    scale-free: a column whose marginal correlation with b is below
+    `threshold` is dropped regardless of raw magnitudes, which is the
+    sparse fixed point pysindy's SR3(l1, normalize_columns, tol=1e-1)
+    lands on in practice."""
+    Aw = A * sample_weight[:, None]
+    bw = b * sample_weight
+    norms = jnp.sqrt(jnp.sum(Aw * Aw, axis=0))
+    norms = jnp.where(norms > 0, norms, 1.0)
+    An = Aw / norms[None, :]
+    bn = bw / jnp.maximum(jnp.linalg.norm(bw), 1e-30)
+    G = An.T @ An
+    rhs = An.T @ bn
+    F = A.shape[1]
+    eye = jnp.eye(F, dtype=A.dtype)
+
+    def body(mask, _):
+        m = mask.astype(A.dtype)
+        Gm = G * jnp.outer(m, m) + jnp.diag(1.0 - m) + alpha * eye
+        c = jnp.linalg.solve(Gm, rhs * m)
+        return jnp.abs(c) > threshold, None
+
+    mask, _ = lax.scan(body, jnp.ones(F, bool), None, length=max_iter)
+    # unbiased refit on the support in raw units (small alpha for f32)
+    m = mask.astype(A.dtype)
+    Gr = (Aw.T @ Aw) * jnp.outer(m, m) + jnp.diag(1.0 - m) + \
+        1e-8 * jnp.trace(Aw.T @ Aw) / F * eye
+    c_raw = jnp.linalg.solve(Gr, (Aw.T @ bw) * m)
+    return jnp.where(mask, c_raw, 0.0)
 
 
 @partial(jax.jit, static_argnames=('max_iter',))

@@ -37,6 +37,8 @@ def main():
                    help='fault-isolate failing runs instead of raising')
     p.add_argument('--cache', action='store_true',
                    help='cache dataset collections on disk')
+    p.add_argument('--tune', action='store_true',
+                   help='hparam tuning (insite: vmapped lam-grid on val)')
     args = p.parse_args()
 
     cfg = RunConfig()
@@ -55,6 +57,7 @@ def main():
     cfg.flush_mode = args.flush
     cfg.debug_mode = not args.no_debug
     cfg.load_from_cache = args.cache
+    cfg.tune_hparams = args.tune
 
     log_path = generate_log_file_path('run', cfg.log_dir)
     logger = create_logger_in_process(log_path)
