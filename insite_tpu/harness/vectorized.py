@@ -105,14 +105,12 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
     return rmse_orig, rmse_all, rmse_last, coefs
 
 
-@partial(jax.jit, static_argnames=('equation_str', 'n_seeds', 'n_train',
-                                   'n_test', 'seq_length', 'insite',
-                                   'gn_iters'))
-def _sweep_jit(equation_str, n_seeds, n_train, n_test, seq_length,
+@partial(jax.jit, static_argnames=('equation_str', 'n_train', 'n_test',
+                                   'seq_length', 'insite', 'gn_iters'))
+def _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
                conf_coeff, threshold, alpha, lam, insite, gn_iters):
     equation = pkpd.Equation[equation_str]
     library = PolynomialLibrary(n_inputs=3)
-    keys = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
     fn = partial(_one_seed, equation=equation, n_train=n_train,
                  n_test=n_test, seq_length=seq_length,
                  conf_coeff=conf_coeff, library=library,
@@ -126,14 +124,29 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
                          seq_length: int = 60, conf_coeff: float = 2.0,
                          threshold: float = 0.1, alpha: float = 0.5,
                          lam: float = 10.0, method: str = 'insite',
-                         gn_iters: int = 12) -> dict:
+                         gn_iters: int = 12, mesh=None) -> dict:
     """All seeds of one (EQ_4 dataset, method) benchmark cell in ONE
     dispatch. Returns per-seed arrays + mean/CI aggregates matching the
-    log-table protocol."""
+    log-table protocol.
+
+    With a `mesh` (1-D batch mesh), the seed axis is sharded across
+    devices — each chip runs its seeds' whole pipelines independently
+    (embarrassingly parallel; no collectives), so the sweep scales
+    linearly over ICI. n_seeds must then be a multiple of the mesh size.
+    """
     assert 'EQ_4' in equation_str
     assert method in ('insite', 'sindy')
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
+    if mesh is not None:
+        # shard the seed axis: each chip runs its seeds' whole pipelines
+        # independently (no collectives) — linear scaling over ICI
+        assert n_seeds % mesh.devices.size == 0, \
+            'n_seeds must be a multiple of the mesh size'
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        keys = jax.device_put(
+            keys, NamedSharding(mesh, P(mesh.axis_names[0])))
     rmse_orig, rmse_all, rmse_last, coefs = _sweep_jit(
-        equation_str, n_seeds, n_train, n_test, seq_length,
+        keys, equation_str, n_train, n_test, seq_length,
         float(conf_coeff), float(threshold), float(alpha), float(lam),
         method == 'insite', gn_iters)
     rmse_orig, rmse_all, rmse_last, coefs = jax.device_get(

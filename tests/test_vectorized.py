@@ -31,3 +31,15 @@ def test_sindy_sweep_matches_standard_harness():
                            cfg=cfg)
     np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][0],
                                r_std['encoder_test_rmse_orig'], rtol=0.2)
+
+
+def test_sweep_sharded_over_mesh_matches_single_device():
+    """Seed axis sharded over the 8-device mesh: same results, no
+    collectives (embarrassingly parallel scaling)."""
+    from insite_tpu.parallel import batch_mesh
+    r1 = vectorized_eq4_sweep('EQ_4_D', n_seeds=8, n_train=50, n_test=8,
+                              method='sindy')
+    r8 = vectorized_eq4_sweep('EQ_4_D', n_seeds=8, n_train=50, n_test=8,
+                              method='sindy', mesh=batch_mesh())
+    np.testing.assert_allclose(r8['encoder_test_rmse_orig'],
+                               r1['encoder_test_rmse_orig'], rtol=1e-5)
