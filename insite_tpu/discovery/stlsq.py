@@ -47,13 +47,17 @@ def stlsq(theta, y, threshold, alpha, sample_weight=None, max_iter: int = 20,
     ``LSQIntialMask`` initial-guess variant (pkpd/utils.py:244-327).
     """
     dtype = theta.dtype
+    # precision='highest': TPU matmuls default to bf16 passes — the gram
+    # accumulation over ~60k rows needs true f32 or the near-collinear
+    # static columns of the polynomial library wash out
     if sample_weight is not None:
         w = sample_weight.astype(dtype)
-        gram = jnp.einsum('nf,ng,n->fg', theta, theta, w)
-        rhs = jnp.einsum('nf,n->f', theta, y * w)
+        gram = jnp.einsum('nf,ng,n->fg', theta, theta, w,
+                          precision='highest')
+        rhs = jnp.einsum('nf,n->f', theta, y * w, precision='highest')
     else:
-        gram = theta.T @ theta
-        rhs = theta.T @ y
+        gram = jnp.einsum('nf,ng->fg', theta, theta, precision='highest')
+        rhs = jnp.einsum('nf,n->f', theta, y, precision='highest')
 
     F = theta.shape[-1]
     mask0 = (jnp.ones(F, bool) if initial_mask is None
@@ -143,11 +147,12 @@ def masked_ridge(theta, y, alpha, mask=None, sample_weight=None):
     dtype = theta.dtype
     if sample_weight is not None:
         w = sample_weight.astype(dtype)
-        gram = jnp.einsum('nf,ng,n->fg', theta, theta, w)
-        rhs = jnp.einsum('nf,n->f', theta, y * w)
+        gram = jnp.einsum('nf,ng,n->fg', theta, theta, w,
+                          precision='highest')
+        rhs = jnp.einsum('nf,n->f', theta, y * w, precision='highest')
     else:
-        gram = theta.T @ theta
-        rhs = theta.T @ y
+        gram = jnp.einsum('nf,ng->fg', theta, theta, precision='highest')
+        rhs = jnp.einsum('nf,n->f', theta, y, precision='highest')
     if mask is None:
         mask = jnp.ones(theta.shape[-1], bool)
     return _masked_solve(gram, rhs, mask, jnp.asarray(alpha, dtype))

@@ -108,8 +108,9 @@ def weak_stlsq(A, b, sample_weight, threshold, alpha: float = 0.5,
     norms = jnp.where(norms > 0, norms, 1.0)
     An = Aw / norms[None, :]
     bn = bw / jnp.maximum(jnp.linalg.norm(bw), 1e-30)
-    G = An.T @ An
-    rhs = An.T @ bn
+    # true-f32 accumulation (TPU matmuls default to bf16 passes)
+    G = jnp.einsum('nf,ng->fg', An, An, precision='highest')
+    rhs = jnp.einsum('nf,n->f', An, bn, precision='highest')
     F = A.shape[1]
     eye = jnp.eye(F, dtype=A.dtype)
 
@@ -122,9 +123,11 @@ def weak_stlsq(A, b, sample_weight, threshold, alpha: float = 0.5,
     mask, _ = lax.scan(body, jnp.ones(F, bool), None, length=max_iter)
     # unbiased refit on the support in raw units (small alpha for f32)
     m = mask.astype(A.dtype)
-    Gr = (Aw.T @ Aw) * jnp.outer(m, m) + jnp.diag(1.0 - m) + \
-        1e-8 * jnp.trace(Aw.T @ Aw) / F * eye
-    c_raw = jnp.linalg.solve(Gr, (Aw.T @ bw) * m)
+    Gw = jnp.einsum('nf,ng->fg', Aw, Aw, precision='highest')
+    Gr = Gw * jnp.outer(m, m) + jnp.diag(1.0 - m) + \
+        1e-8 * jnp.trace(Gw) / F * eye
+    c_raw = jnp.linalg.solve(
+        Gr, jnp.einsum('nf,n->f', Aw, bw, precision='highest') * m)
     return jnp.where(mask, c_raw, 0.0)
 
 
@@ -141,8 +144,8 @@ def sr3_l1(A, b, sample_weight, threshold, nu: float = 1.0,
     norms = jnp.where(norms > 0, norms, 1.0)
     An = Aw / norms[None, :]
     bw = b * wgt
-    G = An.T @ An
-    rhs0 = An.T @ bw
+    G = jnp.einsum('nf,ng->fg', An, An, precision='highest')
+    rhs0 = jnp.einsum('nf,n->f', An, bw, precision='highest')
     F = A.shape[1]
     H = G + (1.0 / nu) * jnp.eye(F, dtype=A.dtype)
     cho = jax.scipy.linalg.cho_factor(H)
