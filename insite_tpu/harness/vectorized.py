@@ -30,7 +30,8 @@ from insite_tpu.sim import pkpd
 
 
 def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
-              library, threshold, alpha, lam, insite, dt, gn_iters):
+              library, threshold, alpha, lam, insite, dt, gn_iters,
+              projection_horizon):
     """Pure per-seed pipeline; all shapes static across seeds."""
     add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
     from insite_tpu.core.dtypes import default_float
@@ -49,6 +50,10 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
         if mode == 'factual':
             return pkpd._simulate_factual_full(params, sub, seq_length,
                                                add_noise, dtype=dtype)
+        if mode == 'cf_seq':
+            return pkpd._simulate_cf_seq_full(
+                params, sub, seq_length, projection_horizon,
+                'sliding_treatment', add_noise, dtype=dtype)
         return pkpd._simulate_cf_1_step_full(params, sub, seq_length,
                                              add_noise, dtype=dtype)
 
@@ -102,20 +107,71 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
         [active[:, 1:], jnp.zeros((N, 1), active.dtype)], axis=1)
     rmse_last = jnp.sqrt(
         jnp.sum(se * last) / jnp.sum(last)) / MAX_VALUE * 100.0
-    return rmse_orig, rmse_all, rmse_last, coefs
+
+    # ---- n-step: treatment-sequence counterfactual rows ------------------
+    ph = projection_horizon
+    s_rows, s_actions, s_lengths, s_st0, s_st1 = cohort(n_test, 'cf_seq')
+    T_out = seq_length + ph
+    N2 = n_test * (seq_length - 1) * 2 * ph
+    s_rows = s_rows.reshape(N2, T_out)
+    s_actions = s_actions.reshape(N2, T_out)
+    s_lengths = s_lengths.reshape(N2)
+    s_statics = jnp.stack([s_st0, s_st1], axis=-1)
+    s_prev = s_rows[:, :-1]
+    s_arms = s_actions[:, :-1].astype(jnp.int32)
+    if insite:
+        # all 2*ph plan rows of one (patient, prefix) share the factual
+        # prefix, so their fine-tune objectives (masked to the prefix) are
+        # identical — solve one GN problem per prefix and gather, a 2*ph x
+        # reduction in fine-tune work and jacfwd memory
+        n_pref = seq_length - 1
+        P2 = 2 * ph
+
+        def rep(x):
+            return x.reshape(n_test, n_pref, P2, *x.shape[1:])[:, :, 0] \
+                .reshape(n_test * n_pref, *x.shape[1:])
+
+        _, coefs_pref = insite_gn_finetune_predict(
+            library, coefs, rep(s_prev), rep(s_statics), rep(s_arms),
+            rep(s_lengths), dt, lam, projection_horizon=ph, joint=False,
+            gn_iters=gn_iters)
+        coefs_rows = jnp.repeat(
+            coefs_pref.reshape(n_test, n_pref, 1, *coefs_pref.shape[1:]),
+            P2, axis=2).reshape(N2, *coefs_pref.shape[1:])
+        s_preds = batched_rollout(library, coefs_rows, s_prev[:, 0],
+                                  s_statics, s_arms, dt, joint=False,
+                                  shared_coefs=False)
+    else:
+        s_preds = batched_rollout(library, coefs[None], s_prev[:, 0],
+                                  s_statics, s_arms, dt, joint=False,
+                                  shared_coefs=True)
+    # slice the last-ph window (sindy.py:729-733 / dataset sequential test):
+    # targets are s_rows[fact+1 .. fact+ph] = outputs[fact .. fact+ph-1]
+    # with fact = L - ph; preds index t predicts vol[t+1]
+    fact = (s_lengths - ph).astype(jnp.int32)
+    win = fact[:, None] + jnp.arange(ph)[None, :]          # [N2, ph]
+    ridx = jnp.arange(N2)[:, None]
+    pred_win = s_preds[ridx, win]
+    target_win = s_rows[:, 1:][ridx, win]
+    n_step_rmses = jnp.sqrt(
+        jnp.mean((pred_win - target_win) ** 2, axis=0)) / MAX_VALUE * 100.0
+    return rmse_orig, rmse_all, rmse_last, n_step_rmses, coefs
 
 
 @partial(jax.jit, static_argnames=('equation_str', 'n_train', 'n_test',
-                                   'seq_length', 'insite', 'gn_iters'))
+                                   'seq_length', 'insite', 'gn_iters',
+                                   'projection_horizon'))
 def _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
-               conf_coeff, threshold, alpha, lam, insite, gn_iters):
+               conf_coeff, threshold, alpha, lam, insite, gn_iters,
+               projection_horizon):
     equation = pkpd.Equation[equation_str]
     library = PolynomialLibrary(n_inputs=3)
     fn = partial(_one_seed, equation=equation, n_train=n_train,
                  n_test=n_test, seq_length=seq_length,
                  conf_coeff=conf_coeff, library=library,
                  threshold=threshold, alpha=alpha, lam=lam, insite=insite,
-                 dt=STANDARD_DT, gn_iters=gn_iters)
+                 dt=STANDARD_DT, gn_iters=gn_iters,
+                 projection_horizon=projection_horizon)
     return jax.vmap(fn)(keys)
 
 
@@ -124,7 +180,8 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
                          seq_length: int = 60, conf_coeff: float = 2.0,
                          threshold: float = 0.1, alpha: float = 0.5,
                          lam: float = 10.0, method: str = 'insite',
-                         gn_iters: int = 12, mesh=None) -> dict:
+                         gn_iters: int = 12, projection_horizon: int = 5,
+                         mesh=None) -> dict:
     """All seeds of one (EQ_4 dataset, method) benchmark cell in ONE
     dispatch. Returns per-seed arrays + mean/CI aggregates matching the
     log-table protocol.
@@ -145,14 +202,13 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
         from jax.sharding import NamedSharding, PartitionSpec as P
         keys = jax.device_put(
             keys, NamedSharding(mesh, P(mesh.axis_names[0])))
-    rmse_orig, rmse_all, rmse_last, coefs = _sweep_jit(
+    out = _sweep_jit(
         keys, equation_str, n_train, n_test, seq_length,
         float(conf_coeff), float(threshold), float(alpha), float(lam),
-        method == 'insite', gn_iters)
-    rmse_orig, rmse_all, rmse_last, coefs = jax.device_get(
-        (rmse_orig, rmse_all, rmse_last, coefs))
+        method == 'insite', gn_iters, projection_horizon)
+    rmse_orig, rmse_all, rmse_last, n_step, coefs = jax.device_get(out)
     from insite_tpu.harness.results import ci
-    return {
+    res = {
         'encoder_test_rmse_orig': rmse_orig,
         'encoder_test_rmse_all': rmse_all,
         'encoder_test_rmse_last': rmse_last,
@@ -160,3 +216,6 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
         'mean': float(np.mean(rmse_orig)),
         'ci95': float(ci(rmse_orig)) if n_seeds > 1 else 0.0,
     }
+    for k in range(n_step.shape[1]):       # [S, ph] -> per-horizon columns
+        res[f'decoder_test_rmse_{k + 2}-step'] = n_step[:, k]
+    return res

@@ -43,3 +43,14 @@ def test_sweep_sharded_over_mesh_matches_single_device():
                               method='sindy', mesh=batch_mesh())
     np.testing.assert_allclose(r8['encoder_test_rmse_orig'],
                                r1['encoder_test_rmse_orig'], rtol=1e-5)
+
+
+def test_n_step_metrics_present():
+    r = vectorized_eq4_sweep('EQ_4_D', n_seeds=1, n_train=60, n_test=8,
+                             method='insite')
+    for k in range(2, 7):
+        v = r[f'decoder_test_rmse_{k}-step']
+        assert v.shape == (1,) and np.isfinite(v).all()
+    # n-step error grows with horizon on average
+    assert r['decoder_test_rmse_6-step'][0] >= \
+        r['decoder_test_rmse_2-step'][0] * 0.5
