@@ -60,3 +60,22 @@ class RunConfig:
         self.gnet_mc_samples = 2
         self.train_samples, self.val_samples, self.test_samples = 1000, 10, 10
         return self
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> 'RunConfig':
+        """Load a sweep config from YAML (the Hydra config.yaml analog);
+        keyword overrides win over file values. Lists become tuples so
+        fields stay hashable."""
+        import yaml
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        raw.update(overrides)
+        import dataclasses
+        valid = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - valid
+        if unknown:
+            raise ValueError(f'unknown RunConfig fields in {path}: '
+                             f'{sorted(unknown)}')
+        raw = {k: tuple(v) if isinstance(v, list) else v
+               for k, v in raw.items()}
+        return cls(**raw)

@@ -21,6 +21,8 @@ from insite_tpu.harness.runner import Experiment, sweep
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument('--config', default=None,
+                   help='YAML file of RunConfig fields (CLI flags override)')
     p.add_argument('--methods', nargs='+', default=None)
     p.add_argument('--datasets', nargs='+', default=None)
     p.add_argument('--seeds', type=int, default=None)
@@ -41,7 +43,7 @@ def main():
                    help='hparam tuning (insite: vmapped lam-grid on val)')
     args = p.parse_args()
 
-    cfg = RunConfig()
+    cfg = (RunConfig.from_yaml(args.config) if args.config else RunConfig())
     if args.methods:
         cfg.methods = tuple(args.methods)
     if args.datasets:

@@ -90,3 +90,44 @@ def test_real_dataset_collection():
     assert np.isfinite([orig, all_]).all()
     n_step = m.get_normalised_n_step_rmses(real.test_cf_treatment_seq)
     assert np.isfinite(np.asarray(n_step)).all()
+
+
+def test_debug_shims():
+    import jax
+    import jax.numpy as jnp
+    from insite_tpu.utils.debug import (debug_scan, debug_vmap,
+                                        find_nonfinite)
+
+    def f(x, s):
+        return x * 2 + s
+
+    xs = jnp.arange(6.0).reshape(3, 2)
+    out = debug_vmap(f, (xs, jnp.asarray(1.0)), in_axes=(0, None))
+    np.testing.assert_array_equal(out, jax.vmap(f, (0, None))(
+        xs, jnp.asarray(1.0)))
+
+    def step(c, x):
+        return c + x, c
+
+    c1, ys1 = debug_scan(step, jnp.asarray(0.0), jnp.arange(4.0))
+    c2, ys2 = jax.lax.scan(step, jnp.asarray(0.0), jnp.arange(4.0))
+    assert float(c1) == float(c2)
+    np.testing.assert_array_equal(ys1, ys2)
+
+    bad = find_nonfinite({'a': jnp.array([1.0, jnp.nan]),
+                          'b': jnp.ones(2)})
+    assert len(bad) == 1 and "'a'" in list(bad)[0]
+
+
+def test_runconfig_from_yaml(tmp_path):
+    from insite_tpu.harness.config import RunConfig
+    p = tmp_path / 'sweep.yaml'
+    p.write_text('methods: [sindy, insite]\nseed_runs: 3\nepochs: 5\n')
+    cfg = RunConfig.from_yaml(str(p), epochs=7)
+    assert cfg.methods == ('sindy', 'insite')
+    assert cfg.seed_runs == 3
+    assert cfg.epochs == 7          # kwarg override wins
+    p2 = tmp_path / 'bad.yaml'
+    p2.write_text('not_a_field: 1\n')
+    with pytest.raises(ValueError):
+        RunConfig.from_yaml(str(p2))
