@@ -69,13 +69,20 @@ class RunConfig:
         import yaml
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
-        raw.update(overrides)
+        if not isinstance(raw, dict):
+            raise ValueError(f'{path} must contain a YAML mapping of '
+                             f'RunConfig fields, got {type(raw).__name__}')
         import dataclasses
         valid = {f.name for f in dataclasses.fields(cls)}
         unknown = set(raw) - valid
         if unknown:
             raise ValueError(f'unknown RunConfig fields in {path}: '
                              f'{sorted(unknown)}')
+        bad_kw = set(overrides) - valid
+        if bad_kw:
+            raise ValueError(f'unknown RunConfig override kwargs: '
+                             f'{sorted(bad_kw)}')
+        raw.update(overrides)
         raw = {k: tuple(v) if isinstance(v, list) else v
                for k, v in raw.items()}
         return cls(**raw)

@@ -42,6 +42,9 @@ def debug_scan(f, init, xs, length=None, progress: bool = False):
         xs_list = [None] * length
     else:
         n = len(jax.tree_util.tree_leaves(xs)[0])
+        if length is not None and length != n:
+            raise ValueError(f'length={length} does not match xs leading '
+                             f'dimension {n}')   # lax.scan errors here too
         xs_list = [jax.tree_util.tree_map(lambda a: a[i], xs)
                    for i in range(n)]
     carry, ys = init, []
@@ -50,7 +53,9 @@ def debug_scan(f, init, xs, length=None, progress: bool = False):
         ys.append(y)
         if progress:
             print(f'[debug_scan] {i + 1}/{len(xs_list)}')
-    stacked = (None if ys and ys[0] is None else
+    if not ys:
+        return carry, None   # zero-length scan: no ys to stack
+    stacked = (None if ys[0] is None else
                jax.tree_util.tree_map(lambda *zs: jnp.stack(zs), *ys))
     return carry, stacked
 
@@ -58,13 +63,17 @@ def debug_scan(f, init, xs, length=None, progress: bool = False):
 def find_nonfinite(tree, name: str = 'tree'):
     """Report which leaves contain NaN/Inf (and where) — the assert-based
     NaN guards of the reference (pkpd_simulation.py:308,468) as a tool."""
+    tree = jax.device_get(tree)   # ONE batched fetch (see CLAUDE.md)
     bad = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         arr = np.asarray(leaf)
-        if np.issubdtype(arr.dtype, np.floating) and \
-                not np.isfinite(arr).all():
-            idx = np.argwhere(~np.isfinite(arr))
-            bad[jax.tree_util.keystr(path)] = (int((~np.isfinite(arr)).sum()),
+        try:
+            finite = np.isfinite(arr)   # works for bf16/f8 too, unlike
+        except TypeError:               # issubdtype(dtype, np.floating)
+            continue                    # (ints, bools, strings)
+        if not finite.all():
+            idx = np.argwhere(~finite)
+            bad[jax.tree_util.keystr(path)] = (int((~finite).sum()),
                                                idx[:5].tolist())
     if bad:
         print(f'[find_nonfinite] {name}: {bad}')

@@ -26,13 +26,13 @@ def main():
     p.add_argument('--methods', nargs='+', default=None)
     p.add_argument('--datasets', nargs='+', default=None)
     p.add_argument('--seeds', type=int, default=None)
-    p.add_argument('--seed-start', type=int, default=0)
+    p.add_argument('--seed-start', type=int, default=None)
     p.add_argument('--epochs', type=int, default=None)
     p.add_argument('--train-samples', type=int, default=None)
     p.add_argument('--val-samples', type=int, default=None)
     p.add_argument('--test-samples', type=int, default=None)
-    p.add_argument('--domain-conf', type=float, default=2.0)
-    p.add_argument('--experiment', default='MAIN_TABLE',
+    p.add_argument('--domain-conf', type=float, default=None)
+    p.add_argument('--experiment', default=None,
                    choices=[e.name for e in Experiment])
     p.add_argument('--flush', action='store_true', help='CI fast path')
     p.add_argument('--no-debug', action='store_true',
@@ -50,21 +50,28 @@ def main():
         cfg.datasets = tuple(args.datasets)
     if args.seeds is not None:
         cfg.seed_runs = args.seeds
-    cfg.seed_start = args.seed_start
-    for k in ('epochs', 'train_samples', 'val_samples', 'test_samples'):
+    # None defaults: a flag only overrides the (possibly YAML-loaded)
+    # config when explicitly given; store_true flags can only enable
+    for k in ('seed_start', 'epochs', 'train_samples', 'val_samples',
+              'test_samples', 'domain_conf'):
         v = getattr(args, k)
         if v is not None:
             setattr(cfg, k, v)
-    cfg.domain_conf = args.domain_conf
-    cfg.flush_mode = args.flush
-    cfg.debug_mode = not args.no_debug
-    cfg.load_from_cache = args.cache
-    cfg.tune_hparams = args.tune
+    if args.experiment is not None:
+        cfg.experiment = args.experiment
+    if args.flush:
+        cfg.flush_mode = True
+    if args.no_debug:
+        cfg.debug_mode = False
+    if args.cache:
+        cfg.load_from_cache = True
+    if args.tune:
+        cfg.tune_hparams = True
 
     log_path = generate_log_file_path('run', cfg.log_dir)
     logger = create_logger_in_process(log_path)
     logger.info(f'Starting sweep | log at {log_path}')
-    df, tables = sweep(cfg, Experiment[args.experiment], log=logger)
+    df, tables = sweep(cfg, Experiment[cfg.experiment], log=logger)
     for metric, table in tables.items():
         logger.info(f'Latex Table:: {metric}\n{table}')
     logger.info(f'[Log found at] {log_path}')
