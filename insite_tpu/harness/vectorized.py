@@ -8,9 +8,10 @@ evaluation) is a pure function of its PRNG key, so a seed sweep is one
 Scope: the EQ_4 family with the SINDy/INSITE methods (the fully-on-device
 path). Key discipline replicates `PkpdDatasetCollection.subset` exactly
 (fresh PRNGKey(seed), one split for params, one for the simulator), so
-per-seed cohorts match the standard harness bit-for-bit; discovery uses the
-on-device QR STLSQ rather than the host solve, so coefficients agree to
-f32 tolerance rather than bitwise.
+per-seed cohorts match the standard harness bit-for-bit; discovery uses
+the on-device f32 gram STLSQ (highest-precision einsums) rather than the
+standard path's host f64 solve, so coefficients agree to f32 tolerance
+rather than bitwise.
 """
 
 from __future__ import annotations
@@ -88,6 +89,12 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
     target = rows[:, 1:]
     row_arms = actions[:, :-1].astype(jnp.int32)
     if insite:
+        # NOTE: the factual/cf row pair of each prefix share a masked
+        # objective, so a per-prefix dedup (like the n-step branch below)
+        # would halve this fine-tune — but adding a second
+        # dedup+gather+rollout structure to the program tripped an opaque
+        # 'TPU backend error (Internal)' at 10 vmapped seeds, so the
+        # one-step branch fine-tunes per row
         preds, _ = insite_gn_finetune_predict(
             library, coefs, prev, row_statics, row_arms, row_lengths, dt,
             lam, projection_horizon=1, joint=False, gn_iters=gn_iters)

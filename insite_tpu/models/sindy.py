@@ -60,7 +60,7 @@ class SINDyConfig:
     insite_val_error_threshold: float = 1e-4
     projection_horizon: int = 5
     treatment_mode: str = 'multiclass'
-    max_stlsq_iter: int = 20
+    max_stlsq_iter: int = 100   # reference STLSQ max_iter (sindy.py:190)
     # matches jax.scipy BFGS defaults the reference relies on (sindy.py:627);
     # on f32 TPU the 1e-12 tolerance is unreachable, so cap the iterations
     # (convergence is typically < 30 iters; failures fall back to global)
@@ -118,7 +118,14 @@ def _eq4_design(vol_j, statics, arms01, eff_len, dt, library, joint,
 @partial(jax.jit, static_argnames=('library', 'joint', 'dt'))
 def _tumor_design(vol_j, statics, arms_idx, lengths, library, joint, dt):
     """Single-dispatch tumor-family design build (FiniteDifference
-    order=1 forward pairs within constant-treatment segments)."""
+    order=1 forward pairs within constant-treatment segments).
+
+    Note on ``use_smoothed_finite_difference``: the reference's smoothed
+    variant is SmoothedFiniteDifference(window_length=2, polyorder=1)
+    (sindy.py:196-198) — a degree-1 fit through 2 points reproduces them
+    exactly, so the smoother is the identity and both settings compute the
+    same forward difference. We match that (the flag is honored by being
+    a no-op, as in the reference)."""
     B, T = vol_j.shape
     xdot = (vol_j[:, 1:] - vol_j[:, :-1]) / dt
     sample_ok = (jnp.arange(T - 1)[None, :] < lengths[:, None])
@@ -210,6 +217,12 @@ class SINDyRegressor(CausalEstimator):
     def fit(self, train_f, val_f=None):
         t0 = time()
         cfg = self.cfg
+        if cfg.joint_model and not _is_eq4(cfg.dataset_name):
+            # ABLATION_ONE_ODE always runs multilabel (run.py:201): a
+            # 4-valued multiclass arm index would be mangled by the 2-wide
+            # one-hot joint features
+            assert cfg.treatment_mode == 'multilabel', \
+                'joint_model on tumor datasets requires multilabel treatments'
         prev, statics, arms, lengths = self._unscaled_arrays(train_f)
         d = train_f.data
         sp = train_f.scaling_params
@@ -278,7 +291,8 @@ class SINDyRegressor(CausalEstimator):
         for a in range(self._n_arms):
             w = flat_ok & ((flat_arm == a) if not cfg.joint_model else True)
             c, _ = stlsq_hostsolve(flat_theta, flat_y, cfg.sindy_threshold,
-                                   cfg.sindy_alpha, sample_weight=w)
+                                   cfg.sindy_alpha, sample_weight=w,
+                                   max_iter=cfg.max_stlsq_iter)
             coefs.append(jnp.asarray(c, flat_theta.dtype))
         return jnp.stack(coefs)
 
@@ -304,7 +318,8 @@ class SINDyRegressor(CausalEstimator):
             w = flat_ok if cfg.joint_model else \
                 (flat_ok & (flat_arm == a))
             c, _ = stlsq_hostsolve(flat_theta, flat_y, cfg.sindy_threshold,
-                                   cfg.sindy_alpha, sample_weight=w)
+                                   cfg.sindy_alpha, sample_weight=w,
+                                   max_iter=cfg.max_stlsq_iter)
             coefs.append(jnp.asarray(c, flat_theta.dtype))
         return jnp.stack(coefs)
 
@@ -377,6 +392,11 @@ class SINDyRegressor(CausalEstimator):
                                     statics, arms, self.dt,
                                     joint=self.cfg.joint_model,
                                     shared_coefs=True)[:self._n_rows]
+        # zero past-valid-length positions (can be inf on divergence; no
+        # metric reads them but inf * 0 masks would produce NaN)
+        valid = jnp.arange(preds.shape[1])[None, :] < \
+            lengths[:preds.shape[0], None]
+        preds = jnp.where(valid, preds, 0.0)
         sp = dataset.scaling_params
         return ((preds - sp['output_means']) / sp['output_stds'])[..., None]
 
@@ -413,6 +433,13 @@ class SINDyRegressor(CausalEstimator):
     def _fine_tuned_rollout(self, dataset, projection_horizon: int):
         preds, _ = self._fine_tune(dataset, projection_horizon)
         preds = preds[:self._n_rows]
+        # positions past each row's valid length are never read by any
+        # metric but can be inf (autoregressive divergence under 0-padded
+        # arms) — zero them so the NaN/Inf guard checks only real entries
+        lengths = np.asarray(dataset.data['sequence_lengths']).astype(int)
+        valid = jnp.arange(preds.shape[1])[None, :] < \
+            jnp.asarray(lengths)[:preds.shape[0], None]
+        preds = jnp.where(valid, preds, 0.0)
         sp = dataset.scaling_params
         preds = (preds - sp['output_means']) / sp['output_stds']
         preds = jax.device_get(preds)[..., None]
@@ -506,8 +533,11 @@ def insite_finetune_predict(library, global_coefs, prev, statics, arms,
         def prefix_mse(coefs_flat):
             c = (coefs_flat.reshape(A, F)) * sparse_mask
             preds = rollout(c)
-            se = ((prev_i[1:] - preds[:-1]) ** 2) * prefix_mask
-            return jnp.sum(se) / jnp.maximum(jnp.sum(prefix_mask), 1.0)
+            # where() before squaring: a diverging rollout can be inf at
+            # masked positions, and inf * 0 = NaN would poison the sum
+            err = jnp.where(prefix_mask > 0, prev_i[1:] - preds[:-1], 0.0)
+            return jnp.sum(err * err) / jnp.maximum(jnp.sum(prefix_mask),
+                                                    1.0)
 
         return rollout, prefix_mse
 
@@ -515,7 +545,9 @@ def insite_finetune_predict(library, global_coefs, prev, statics, arms,
         rollout, prefix_mse = row_objective_factory(prev_i, statics_i,
                                                     arms_i, length_i)
         mse0 = prefix_mse(g_flat)
-        norm_const = mse0 * 2.5
+        # guard: a perfectly-fit prefix (mse0 == 0) must not NaN the
+        # objective (the GN path guards identically)
+        norm_const = jnp.maximum(mse0 * 2.5, 1e-30)
 
         def objective(coefs_flat):
             reg = lam * jnp.mean((g_flat - coefs_flat) ** 2)
@@ -580,7 +612,9 @@ def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
         def data_residuals(coefs_flat):
             c = coefs_flat.reshape(A, F) * sparse_mask
             preds = rollout(c)
-            return (prev_i[1:] - preds[:-1]) * prefix_mask
+            # where(), not multiply: inf preds at masked positions would
+            # turn inf * 0 into NaN residuals
+            return jnp.where(prefix_mask > 0, prev_i[1:] - preds[:-1], 0.0)
 
         mse0 = jnp.sum(data_residuals(g_flat) ** 2) / n_mask
         # scale so that sum(residuals^2) == objective  (guard mse0 ~ 0)

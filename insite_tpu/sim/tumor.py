@@ -61,12 +61,15 @@ def _diameter(volume):
     return ((volume / (4.0 / 3.0 * jnp.pi)) ** (1.0 / 3.0)) * 2.0
 
 
-def _window_mean_diameter(buf, count):
-    """Mean diameter over the last ``count`` entries of the rolling buffer
-    (most recent last).  count is a traced scalar; zero count -> diameter of
-    a zero volume (the reference's `np.zeros((1,))` fallback)."""
+def _window_mean_diameter(buf, count, lag: int = 0):
+    """Mean diameter over ``count`` buffer entries ending ``lag`` slots
+    before the buffer end (most recent last) — the reference window
+    volumes[max(t-w-lag, 0) : t-lag] (cancer_simulation.py:308-314).
+    count is a traced scalar; zero count -> diameter of a zero volume
+    (the reference's `np.zeros((1,))` fallback)."""
     W = buf.shape[-1]
-    pos_ok = jnp.arange(W) >= (W - count)
+    pos = jnp.arange(W)
+    pos_ok = (pos >= (W - lag - count)) & (pos < W - lag)
     diam = _diameter(buf)
     total = jnp.sum(jnp.where(pos_ok[None, :], diam, 0.0), axis=-1)
     return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
@@ -108,7 +111,7 @@ def factual_core(params, rvs, seq_length: int, window_size: int, lag: int):
     r_beta = params['radio_sigmoid_betas'].astype(dtype)
     r_int = params['radio_sigmoid_intercepts'].astype(dtype)
 
-    buf0 = jnp.zeros((B, window_size), dtype).at[:, -1].set(v0)
+    buf0 = jnp.zeros((B, window_size + lag), dtype).at[:, -1].set(v0)
 
     def step(carry, xs):
         v_prev, chemo_prev, radio_prev, alive, buf = carry
@@ -117,10 +120,11 @@ def factual_core(params, rvs, seq_length: int, window_size: int, lag: int):
         v_t = _volume_update(v_prev, chemo_prev, radio_prev, alpha, beta,
                              beta_c, rho, K, eps)
 
-        # window over volumes [max(t-w-lag,0), t-lag): excludes v_t
-        # (cancer_simulation.py:308-314); buffer holds ..., v_{t-1}
+        # window over volumes [max(t-w-lag,0), t-lag): excludes v_t and the
+        # lag most recent entries (cancer_simulation.py:308-314); buffer
+        # holds ..., v_{t-1}
         count = jnp.minimum(t - lag, window_size) * (t >= lag)
-        metric = _window_mean_diameter(buf, count)
+        metric = _window_mean_diameter(buf, count, lag)
         chemo_app, chemo_p = _assign(chemo_rv, metric, c_beta, c_int)
         radio_app, radio_p = _assign(radio_rv, metric, r_beta, r_int)
         radio_dose = jnp.where(radio_app, RADIO_AMT, 0.0).astype(dtype)
@@ -210,17 +214,17 @@ def cf_factual_core(params, rvs, seq_length: int, window_size: int,
     r_beta = params['radio_sigmoid_betas'].astype(dtype)
     r_int = params['radio_sigmoid_intercepts'].astype(dtype)
 
-    buf0 = jnp.zeros((B, window_size + 1), dtype)
+    buf0 = jnp.zeros((B, window_size + 1 + lag), dtype)
 
     def step(carry, xs):
         v_t, chemo_prev, active, buf = carry
         t, eps_next, rec_rv, chemo_rv, radio_rv = xs
 
-        # window [max(t-w-lag,0), t-lag+1): *includes* v_t, so up to
+        # window [max(t-w-lag,0), t-lag+1): *includes* v_{t-lag}, so up to
         # window_size+1 entries (cancer_simulation.py:471) — push v_t first
         buf = jnp.concatenate([buf[:, 1:], v_t[:, None]], axis=1)
         count = jnp.minimum(t - lag + 1, window_size + 1) * (t >= lag)
-        metric = _window_mean_diameter(buf, count)
+        metric = _window_mean_diameter(buf, count, lag)
         chemo_app, _ = _assign(chemo_rv, metric, c_beta, c_int)
         radio_app, _ = _assign(radio_rv, metric, r_beta, r_int)
         radio_dose = jnp.where(radio_app, RADIO_AMT, 0.0).astype(dtype)
