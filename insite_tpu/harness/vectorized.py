@@ -226,3 +226,34 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
     for k in range(n_step.shape[1]):       # [S, ph] -> per-horizon columns
         res[f'decoder_test_rmse_{k + 2}-step'] = n_step[:, k]
     return res
+
+
+def vectorized_confounding_sweep(equation_str: str = 'EQ_4_D',
+                                 gammas=(0.0, 1.0, 2.0, 3.0, 4.0),
+                                 n_seeds: int = 10, n_train: int = 1000,
+                                 n_test: int = 100, seq_length: int = 60,
+                                 method: str = 'insite', threshold=0.1,
+                                 alpha=0.5, lam=10.0, gn_iters: int = 12,
+                                 projection_horizon: int = 5) -> dict:
+    """The INSIGHT_CONFOUNDING experiment (run.py:105-114: method x gamma x
+    seed grid) as ONE dispatch: conf_coeff is a traced scalar in the
+    per-seed pipeline, so the whole (gamma, seed) grid is a nested vmap.
+    Returns {'gammas': [G], '<metric>': [G, S] arrays}."""
+    assert 'EQ_4' in equation_str and method in ('insite', 'sindy')
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
+    gam = jnp.asarray(gammas, jnp.float32)
+
+    def for_gamma(g):
+        return _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
+                          g, float(threshold), float(alpha), float(lam),
+                          method == 'insite', gn_iters, projection_horizon)
+
+    out = jax.jit(jax.vmap(for_gamma))(gam)
+    rmse_orig, rmse_all, rmse_last, n_step, _ = jax.device_get(out)
+    res = {'gammas': np.asarray(gammas),
+           'encoder_test_rmse_orig': rmse_orig,     # [G, S]
+           'encoder_test_rmse_all': rmse_all,
+           'encoder_test_rmse_last': rmse_last}
+    for k in range(n_step.shape[2]):
+        res[f'decoder_test_rmse_{k + 2}-step'] = n_step[:, :, k]
+    return res

@@ -54,3 +54,12 @@ def test_n_step_metrics_present():
     # n-step error grows with horizon on average
     assert r['decoder_test_rmse_6-step'][0] >= \
         r['decoder_test_rmse_2-step'][0] * 0.5
+
+
+def test_confounding_sweep_grid():
+    from insite_tpu.harness.vectorized import vectorized_confounding_sweep
+    r = vectorized_confounding_sweep('EQ_4_D', gammas=(0.0, 4.0), n_seeds=2,
+                                     n_train=60, n_test=8, method='sindy')
+    assert r['encoder_test_rmse_orig'].shape == (2, 2)
+    assert np.isfinite(r['encoder_test_rmse_orig']).all()
+    assert r['decoder_test_rmse_6-step'].shape == (2, 2)
