@@ -63,9 +63,19 @@ def stlsq(theta, y, threshold, alpha, sample_weight=None, max_iter: int = 20,
     mask0 = (jnp.ones(F, bool) if initial_mask is None
              else jnp.asarray(initial_mask, bool))
 
+    # relative ridge floor: gram entries scale with n * feature^2 (1e10 for
+    # tumor volumes), so the reference's absolute alpha=0.5 is negligible
+    # and an exactly-duplicate column pair (constant static == bias in
+    # single-patient-type EQ_5_A) is singular at f32 -> NaN. The floor is
+    # ~eps-relative: invisible on well-conditioned problems, lifesaving on
+    # degenerate ones.
+    rel = 1e-6 if dtype == jnp.float32 else 1e-12
+    floor = (rel * jnp.trace(gram) / F).astype(dtype)
+    alpha_eff = jnp.maximum(jnp.asarray(alpha, dtype), floor)
+
     def body(carry, _):
         mask, _ = carry
-        c = _masked_solve(gram, rhs, mask, alpha)
+        c = _masked_solve(gram, rhs, mask, alpha_eff)
         new_mask = (jnp.abs(c) >= threshold) & mask
         # degenerate guard: if thresholding kills everything, keep zeros
         # (reference warns and zeroes out, pkpd/utils.py:275-281)
@@ -75,7 +85,7 @@ def stlsq(theta, y, threshold, alpha, sample_weight=None, max_iter: int = 20,
     (mask, coefs), _ = lax.scan(body, (mask0, jnp.zeros(F, dtype)),
                                 None, length=max_iter)
     if unbias:
-        ols = _masked_solve(gram, rhs, mask, jnp.asarray(0.0, dtype))
+        ols = _masked_solve(gram, rhs, mask, floor)
         coefs = jnp.where(mask, ols, 0.0)
     return coefs, mask
 

@@ -21,11 +21,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from insite_tpu.core.constants import MAX_VALUE, STANDARD_DT
 from insite_tpu.discovery.library import PolynomialLibrary
 from insite_tpu.discovery.stlsq import stlsq
-from insite_tpu.models.sindy import (_eq4_design, batched_rollout,
+from insite_tpu.models.sindy import (_eq4_design, _tumor_design,
+                                     batched_rollout,
                                      insite_gn_finetune_predict)
 from insite_tpu.sim import pkpd
 
@@ -256,4 +258,307 @@ def vectorized_confounding_sweep(equation_str: str = 'EQ_4_D',
            'encoder_test_rmse_last': rmse_last}
     for k in range(n_step.shape[2]):
         res[f'decoder_test_rmse_{k + 2}-step'] = n_step[:, :, k]
+    return res
+
+
+# ---------------------------------------------------------------------------
+# tumor family (cancer_sim / EQ_5): jax-native parameter sampling +
+# one-dispatch multi-seed benchmark.  The standard collections draw
+# parameters with np.random/scipy for draw-order parity with the reference;
+# this path re-expresses the same distributions with jax.random (truncated
+# normals via random.truncated_normal, positivity-rejected (alpha, rho) via
+# first-accepted-of-16 candidates), so cohorts here match the reference in
+# distribution, not bitwise.
+
+
+def _tumor_params_jax(key, n, chemo_coeff, radio_coeff,
+                      patient_type_choices=(1, 2, 3),
+                      beta_c_noise=True, dtype=jnp.float32):
+    """jax re-expression of cancer.get_standard_params
+    (cancer_simulation.py:96-215)."""
+    from insite_tpu.sim.cancer import (CANCER_STAGE_OBSERVATIONS,
+                                       TUMOUR_SIZE_DISTRIBUTIONS)
+    from insite_tpu.sim.tumor import TUMOUR_DEATH_THRESHOLD, calc_diameter
+    from insite_tpu.sim.tumor import calc_volume as _cv
+
+    ks = jax.random.split(key, 6)
+    stages = sorted(TUMOUR_SIZE_DISTRIBUTIONS)
+    total = sum(CANCER_STAGE_OBSERVATIONS.values())
+    probs = np.array([CANCER_STAGE_OBSERVATIONS[s] / total for s in stages])
+    mus = jnp.asarray([TUMOUR_SIZE_DISTRIBUTIONS[s][0] for s in stages],
+                      dtype)
+    sigmas = jnp.asarray([TUMOUR_SIZE_DISTRIBUTIONS[s][1] for s in stages],
+                         dtype)
+    lbs = jnp.asarray([(np.log(TUMOUR_SIZE_DISTRIBUTIONS[s][2]) -
+                        TUMOUR_SIZE_DISTRIBUTIONS[s][0]) /
+                       TUMOUR_SIZE_DISTRIBUTIONS[s][1] for s in stages],
+                      dtype)
+    ubs = jnp.asarray([(np.log(TUMOUR_SIZE_DISTRIBUTIONS[s][3]) -
+                        TUMOUR_SIZE_DISTRIBUTIONS[s][0]) /
+                       TUMOUR_SIZE_DISTRIBUTIONS[s][1] for s in stages],
+                      dtype)
+    stage_idx = jax.random.categorical(
+        ks[0], jnp.log(jnp.asarray(probs, dtype))[None, :], shape=(n,))
+    tn = jax.random.truncated_normal(ks[1], lbs[stage_idx], ubs[stage_idx],
+                                     (n,), dtype)
+    initial_volumes = _cv(jnp.exp(tn * sigmas[stage_idx] + mus[stage_idx]))
+
+    # correlated (alpha, rho), both positive: first accepted of 16
+    alpha_params, rho_params = (0.0398, 0.168), (7e-5, 7.23e-3)
+    corr = 0.87
+    cov = jnp.asarray(
+        [[alpha_params[1] ** 2, corr * alpha_params[1] * rho_params[1]],
+         [corr * alpha_params[1] * rho_params[1], rho_params[1] ** 2]],
+        dtype)
+    L = jnp.linalg.cholesky(cov)
+    z = jax.random.normal(ks[2], (n, 16, 2), dtype)
+    cand = jnp.asarray([alpha_params[0], rho_params[0]], dtype) + \
+        jnp.einsum('ngk,jk->ngj', z, L)
+    ok = jnp.all(cand > 0.0, axis=-1)                      # [n, 16]
+    first = jnp.argmax(ok, axis=1)
+    pick = jnp.take_along_axis(cand, first[:, None, None].repeat(2, -1),
+                               axis=1)[:, 0]
+    pick = jnp.where(jnp.any(ok, axis=1)[:, None], pick,
+                     jnp.asarray([alpha_params[0], rho_params[0]], dtype))
+
+    patient_types = jax.random.choice(
+        ks[3], jnp.asarray(patient_type_choices, jnp.int32), (n,))
+    chemo_adj = jnp.where(patient_types < 3, 0.0, 0.1).astype(dtype)
+    radio_adj = jnp.where(patient_types > 1, 0.0, 0.1).astype(dtype)
+
+    alpha = pick[:, 0] + alpha_params[0] * radio_adj
+    rho = pick[:, 1]
+    beta = alpha / 10.0
+    beta_c_params = (0.028, 0.0007)
+    beta_c_adj = beta_c_params[0] * chemo_adj
+    if beta_c_noise:
+        lo = (0.0 - beta_c_params[0]) / beta_c_params[1]
+        t = jax.random.truncated_normal(ks[4], lo, jnp.inf, (n,), dtype)
+        beta_c = beta_c_params[0] + beta_c_params[1] * t + beta_c_adj
+    else:
+        beta_c = jnp.full((n,), beta_c_params[0], dtype) + beta_c_adj
+
+    d_max = calc_diameter(TUMOUR_DEATH_THRESHOLD)
+    return {
+        'initial_volumes': initial_volumes.astype(dtype),
+        'alpha': alpha, 'rho': rho, 'beta': beta, 'beta_c': beta_c,
+        'K': jnp.full((n,), _cv(30.0), dtype),
+        'chemo_sigmoid_intercepts': jnp.full((n,), d_max / 2.0, dtype),
+        'radio_sigmoid_intercepts': jnp.full((n,), d_max / 2.0, dtype),
+        'chemo_sigmoid_betas': jnp.full((n,), chemo_coeff / d_max, dtype),
+        'radio_sigmoid_betas': jnp.full((n,), radio_coeff / d_max, dtype),
+    }, patient_types
+
+
+def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
+                    threshold, alpha_ridge, lam, insite, dt, gn_iters,
+                    ph, patient_type_choices, beta_c_noise, extra_noise,
+                    window_size=15, lag=0):
+    from insite_tpu.core.dtypes import default_float
+    from insite_tpu.sim.tumor import (TUMOUR_DEATH_THRESHOLD,
+                                      cf_factual_core, cf_one_step_rows,
+                                      cf_seq_rows, factual_core)
+    dtype = default_float()
+    norm_c = TUMOUR_DEATH_THRESHOLD
+
+    def cohort_params(k, n):
+        return _tumor_params_jax(k, n, coeff, coeff, patient_type_choices,
+                                 beta_c_noise, dtype)
+
+    def factual_rvs(k, n):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {'noise': 0.01 * jax.random.normal(k1, (n, seq_length),
+                                                  dtype),
+                'recovery': jax.random.uniform(k2, (n, seq_length), dtype),
+                'chemo_rv': jax.random.uniform(k3, (n, seq_length), dtype),
+                'radio_rv': jax.random.uniform(k4, (n, seq_length), dtype)}
+
+    # ---- train ------------------------------------------------------------
+    k_tr, k_te = jax.random.split(key)
+    kp, kr, kn = jax.random.split(k_tr, 3)
+    params, ptypes = cohort_params(kp, n_train)
+    fact = factual_core(params, factual_rvs(kr, n_train), seq_length,
+                        window_size, lag)
+    vol = fact['cancer_volume']
+    if extra_noise:
+        vol = vol + 0.01 * jax.random.normal(kn, vol.shape, dtype)
+    lengths = fact['sequence_lengths']
+    arms = (fact['chemo_application'][:, :-1] +
+            2.0 * fact['radio_application'][:, :-1]).astype(jnp.int32)
+    statics = ptypes.astype(dtype)[:, None]
+
+    flat_theta, flat_y, flat_ok, flat_arm = _tumor_design(
+        vol, statics, arms, lengths, library=library, joint=False, dt=dt)
+    coefs = []
+    for a in range(4):
+        w = (flat_ok & (flat_arm == a)).astype(dtype)
+        c, _ = stlsq(flat_theta, flat_y, threshold, alpha_ridge,
+                     sample_weight=w)
+        coefs.append(c)
+    coefs = jnp.stack(coefs)
+
+    # ---- test cohort: shared factual branch -------------------------------
+    kp2, kr2, kn2, kn3 = jax.random.split(k_te, 4)
+    params_t, ptypes_t = cohort_params(kp2, n_test)
+    rvs_t = factual_rvs(kr2, n_test)
+    # cf generators draw ph extra noise steps (cancer.py:237)
+    rvs_t['noise'] = 0.01 * jax.random.normal(
+        kn3, (n_test, seq_length + ph), dtype)
+    fact_t = cf_factual_core(params_t, rvs_t, seq_length, window_size, lag)
+
+    def masked_rmse_1step():
+        vol_r, ch_r, ra_r, sl, valid = cf_one_step_rows(
+            params_t, fact_t, rvs_t['noise'], seq_length)
+        N = n_test * (seq_length - 1) * 4
+        T = seq_length
+        rows = vol_r.reshape(N, T)
+        if extra_noise:
+            rows = rows + 0.01 * jax.random.normal(kn2, rows.shape, dtype)
+        arms_r = (ch_r + 2.0 * ra_r).reshape(N, T)[:, :-1].astype(jnp.int32)
+        sl = sl.reshape(N)
+        valid = valid.reshape(N).astype(dtype)
+        stat_r = jnp.repeat(ptypes_t.astype(dtype),
+                            (seq_length - 1) * 4)[:, None]
+        prev, target = rows[:, :-1], rows[:, 1:]
+        if insite:
+            preds, _ = insite_gn_finetune_predict(
+                library, coefs, prev, stat_r, arms_r, sl, dt, lam,
+                projection_horizon=1, joint=False, gn_iters=gn_iters)
+        else:
+            preds = batched_rollout(library, coefs[None], prev[:, 0],
+                                    stat_r, arms_r, dt, joint=False,
+                                    shared_coefs=True)
+        active = (jnp.arange(T - 1)[None, :] < sl[:, None]).astype(dtype) \
+            * valid[:, None]
+        err = jnp.where(active > 0, preds - target, 0.0)
+        se = err * err
+        mse_orig = jnp.mean(jnp.sum(se, 0) /
+                            jnp.maximum(jnp.sum(active, 0), 1.0))
+        r_orig = jnp.sqrt(mse_orig) / norm_c * 100.0
+        r_all = jnp.sqrt(jnp.sum(se) / jnp.sum(active)) / norm_c * 100.0
+        lastm = active - jnp.concatenate(
+            [active[:, 1:], jnp.zeros((N, 1), dtype)], axis=1)
+        lastm = jnp.maximum(lastm, 0.0)
+        r_last = jnp.sqrt(jnp.sum(se * lastm) /
+                          jnp.maximum(jnp.sum(lastm), 1.0)) / norm_c * 100.0
+        return r_orig, r_all, r_last
+
+    def masked_rmse_nstep():
+        eye = jnp.eye(ph, dtype=jnp.int32)
+        plans = jnp.stack([jnp.concatenate([eye, 0 * eye]),
+                           jnp.concatenate([0 * eye, eye])], axis=-1)
+        plans = jnp.broadcast_to(
+            plans[None, None],
+            (n_test, seq_length - 1, 2 * ph, ph, 2)).astype(dtype)
+        (vol_r, ch_r, ra_r, _, sl, valid) = cf_seq_rows(
+            params_t, fact_t, plans, rvs_t['noise'], seq_length, ph)
+        P2 = 2 * ph
+        N2 = n_test * (seq_length - 1) * P2
+        T_out = seq_length + ph
+        rows = vol_r.reshape(N2, T_out)
+        if extra_noise:
+            rows = rows + 0.01 * jax.random.normal(
+                jax.random.fold_in(kn2, 1), rows.shape, dtype)
+        arms_r = (ch_r + 2.0 * ra_r).reshape(N2, T_out)[:, :-1] \
+            .astype(jnp.int32)
+        sl = sl.reshape(N2)
+        valid = valid.reshape(N2).astype(dtype)
+        stat_r = jnp.repeat(ptypes_t.astype(dtype),
+                            (seq_length - 1) * P2)[:, None]
+        prev = rows[:, :-1]
+        if insite:
+            n_pref = seq_length - 1
+
+            def rep(x):
+                return x.reshape(n_test, n_pref, P2, *x.shape[1:])[:, :, 0] \
+                    .reshape(n_test * n_pref, *x.shape[1:])
+
+            _, coefs_pref = insite_gn_finetune_predict(
+                library, coefs, rep(prev), rep(stat_r), rep(arms_r),
+                rep(sl), dt, lam, projection_horizon=ph, joint=False,
+                gn_iters=gn_iters)
+            coefs_rows = jnp.repeat(
+                coefs_pref.reshape(n_test, n_pref, 1,
+                                   *coefs_pref.shape[1:]),
+                P2, axis=2).reshape(N2, *coefs_pref.shape[1:])
+            preds = batched_rollout(library, coefs_rows, prev[:, 0],
+                                    stat_r, arms_r, dt, joint=False,
+                                    shared_coefs=False)
+        else:
+            preds = batched_rollout(library, coefs[None], prev[:, 0],
+                                    stat_r, arms_r, dt, joint=False,
+                                    shared_coefs=True)
+        fact_len = (sl - ph).astype(jnp.int32)
+        win = fact_len[:, None] + jnp.arange(ph)[None, :]
+        ridx = jnp.arange(N2)[:, None]
+        err = jnp.where(valid[:, None] > 0,
+                        preds[ridx, win] - rows[:, 1:][ridx, win], 0.0)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+        return jnp.sqrt(jnp.sum(err * err, axis=0) / denom) / norm_c * 100.0
+
+    r_orig, r_all, r_last = masked_rmse_1step()
+    n_step = masked_rmse_nstep()
+    return r_orig, r_all, r_last, n_step, coefs
+
+
+@partial(jax.jit, static_argnames=('n_train', 'n_test', 'seq_length',
+                                   'insite', 'gn_iters', 'ph',
+                                   'patient_type_choices', 'beta_c_noise',
+                                   'extra_noise'))
+def _tumor_sweep_jit(keys, n_train, n_test, seq_length, coeff, threshold,
+                     alpha_ridge, lam, insite, gn_iters, ph,
+                     patient_type_choices, beta_c_noise, extra_noise):
+    library = PolynomialLibrary(n_inputs=2)
+    fn = partial(_tumor_one_seed, n_train=n_train, n_test=n_test,
+                 seq_length=seq_length, coeff=coeff, library=library,
+                 threshold=threshold, alpha_ridge=alpha_ridge, lam=lam,
+                 insite=insite, dt=STANDARD_DT, gn_iters=gn_iters, ph=ph,
+                 patient_type_choices=patient_type_choices,
+                 beta_c_noise=beta_c_noise, extra_noise=extra_noise)
+    # lax.map (sequential over seeds) instead of vmap: the tumor test sets
+    # are 4x larger than EQ_4's and a 10-seed vmap of the fine-tune
+    # exhausts the worker
+    return lax.map(fn, keys)
+
+
+TUMOR_VARIANTS = {
+    # patient_type_choices, beta_c_noise, extra_noise
+    'cancer_sim': ((1, 2, 3), True, False),
+    'EQ_5_A': ((1,), False, False),
+    'EQ_5_B': ((1,), False, True),
+    'EQ_5_C': ((1, 2, 3), False, True),
+    'EQ_5_D': ((1, 2, 3), True, True),
+}
+
+
+def vectorized_tumor_sweep(dataset_name: str, n_seeds: int = 10,
+                           n_train: int = 1000, n_test: int = 100,
+                           seq_length: int = 60, coeff: float = 2.0,
+                           threshold: float = 0.001, alpha: float = 0.5,
+                           lam: float = 10.0, method: str = 'insite',
+                           gn_iters: int = 12,
+                           projection_horizon: int = 5) -> dict:
+    """Multi-seed cancer_sim / EQ_5 benchmark in one dispatch (sequential
+    lax.map over seeds inside the program). Library is the cancer-style
+    [volume, patient_type] 2-input basis (the standard EQ_5 sindy path can
+    additionally expose the chemo dosage covariate; this fast path does
+    not). Distribution-level cohort parity (jax.random, not np.random)."""
+    assert dataset_name in TUMOR_VARIANTS
+    assert method in ('insite', 'sindy')
+    ptc, bcn, extra = TUMOR_VARIANTS[dataset_name]
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
+    out = _tumor_sweep_jit(keys, n_train, n_test, seq_length, float(coeff),
+                           float(threshold), float(alpha), float(lam),
+                           method == 'insite', gn_iters, projection_horizon,
+                           ptc, bcn, extra)
+    rmse_orig, rmse_all, rmse_last, n_step, coefs = jax.device_get(out)
+    from insite_tpu.harness.results import ci
+    res = {'encoder_test_rmse_orig': rmse_orig,
+           'encoder_test_rmse_all': rmse_all,
+           'encoder_test_rmse_last': rmse_last,
+           'global_coefs': coefs,
+           'mean': float(np.mean(rmse_orig)),
+           'ci95': float(ci(rmse_orig)) if n_seeds > 1 else 0.0}
+    for k in range(n_step.shape[1]):
+        res[f'decoder_test_rmse_{k + 2}-step'] = n_step[:, k]
     return res

@@ -63,3 +63,24 @@ def test_confounding_sweep_grid():
     assert r['encoder_test_rmse_orig'].shape == (2, 2)
     assert np.isfinite(r['encoder_test_rmse_orig']).all()
     assert r['decoder_test_rmse_6-step'].shape == (2, 2)
+
+
+def test_tumor_sweep_smoke():
+    from insite_tpu.harness.vectorized import vectorized_tumor_sweep
+    r = vectorized_tumor_sweep('cancer_sim', n_seeds=2, n_train=40,
+                               n_test=6, seq_length=20, method='insite')
+    v = r['encoder_test_rmse_orig']
+    assert v.shape == (2,) and np.isfinite(v).all()
+    assert r['global_coefs'].shape == (2, 4, 4)   # 4 arms, 4 features
+    for k in range(2, 7):
+        assert np.isfinite(r[f'decoder_test_rmse_{k}-step']).all()
+
+
+def test_tumor_sweep_eq5_variants_differ():
+    from insite_tpu.harness.vectorized import vectorized_tumor_sweep
+    ra = vectorized_tumor_sweep('EQ_5_A', n_seeds=1, n_train=40, n_test=6,
+                                seq_length=20, method='sindy')
+    rd = vectorized_tumor_sweep('EQ_5_D', n_seeds=1, n_train=40, n_test=6,
+                                seq_length=20, method='sindy')
+    assert not np.allclose(ra['encoder_test_rmse_orig'],
+                           rd['encoder_test_rmse_orig'])
