@@ -84,3 +84,34 @@ def test_tumor_sweep_eq5_variants_differ():
                                 seq_length=20, method='sindy')
     assert not np.allclose(ra['encoder_test_rmse_orig'],
                            rd['encoder_test_rmse_orig'])
+
+
+def test_cohorts_bitwise_match_standard_collection():
+    """The vectorized path's key discipline replicates
+    PkpdDatasetCollection.subset, so simulated cohorts are bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    from insite_tpu.core.dtypes import default_float
+    from insite_tpu.data import PkpdDatasetCollection
+    from insite_tpu.sim import pkpd
+
+    seed, n, T = 0, 16, 60
+    coll = PkpdDatasetCollection(
+        conf_coeff=2.0, num_patients={'train': n, 'val': 2, 'test': 2},
+        equation_str='EQ_4_D', seed=seed)
+
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    params = dict(pkpd.get_standard_params(n, pkpd.Equation.EQ_4_D, sub))
+    from insite_tpu.core.constants import MAX_VALUE
+    params['observation_noise'] = pkpd.OBSERVATION_NOISE
+    params['sigmoid_intercept'] = MAX_VALUE / 2.0
+    params['sigmoid_gamma'] = 2.0 / MAX_VALUE
+    key, sub = jax.random.split(key)
+    vol, treat, lengths = pkpd._simulate_factual_full(
+        params, sub, T, True, dtype=default_float())
+
+    np.testing.assert_array_equal(np.asarray(vol),
+                                  coll.train_f.data['cancer_volume'])
+    np.testing.assert_array_equal(np.asarray(lengths),
+                                  coll.train_f.data['sequence_lengths'])
