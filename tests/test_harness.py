@@ -127,3 +127,19 @@ def test_sweep_fault_isolation(monkeypatch, tmp_path):
     df, tables = runner_mod.sweep(cfg, Experiment.MAIN_TABLE)
     assert len(df) == 1
     assert bool(df.iloc[0]['errored'])
+
+
+@pytest.mark.parametrize('mode', ['sliding_treatment',
+                                  'random_trajectories'])
+def test_cf_seq_modes_end_to_end(mode):
+    """Both counterfactual-plan modes (pkpd_simulation.py:474-503) drive the
+    full n-step protocol on both simulator families."""
+    cfg = RunConfig(train_samples=40, val_samples=8, test_samples=6,
+                    cf_seq_mode=mode)
+    r = run_experiment('EQ_4_D', 'sindy', seed=0, domain_conf=2.0, cfg=cfg)
+    assert np.isfinite(r['decoder_test_rmse_6-step'])
+    cfg2 = RunConfig(train_samples=16, val_samples=4, test_samples=4,
+                     cf_seq_mode=mode)
+    r2 = run_experiment('cancer_sim', 'sindy', seed=0, domain_conf=2.0,
+                        cfg=cfg2)
+    assert np.isfinite(r2['decoder_test_rmse_6-step'])
