@@ -74,12 +74,20 @@ class CTNetwork(nn.Module):
                                                                      :])
         active = batch['active_entries']
         head_size = cfg.seq_hidden_units // cfg.num_heads
+        # ONE shared k and ONE shared v relative-PE table for every
+        # attention module in every block (reference ct.py:92-93)
+        T = x_t.shape[1]
+        from insite_tpu.models.nn.blocks import RelativePositionalEncoding
+        rel_k = RelativePositionalEncoding(
+            cfg.max_relative_position, head_size, name='self_pe_k')(T, T)
+        rel_v = RelativePositionalEncoding(
+            cfg.max_relative_position, head_size, name='self_pe_v')(T, T)
         for i in range(cfg.num_layer):
             x_t, x_o = TransformerMultiInputBlock(
                 cfg.seq_hidden_units, cfg.num_heads, head_size,
                 cfg.seq_hidden_units * 4, cfg.dropout_rate, cfg.dropout_rate,
                 cfg.max_relative_position, name=f'block_{i}')(
-                    x_t, x_o, x_s, active, train)
+                    x_t, x_o, x_s, active, train, rel_k, rel_v)
         x = (x_o + x_t) / 2
         x = nn.Dropout(cfg.dropout_rate, deterministic=not train)(x)
         head = BRTreatmentOutcomeHead(cfg.br_size, cfg.fc_hidden_units,

@@ -72,12 +72,18 @@ class EDCTEncoderNetwork(nn.Module):
         x = nn.Dense(cfg.enc_seq_hidden_units, name='input')(x)
         head_size = cfg.enc_seq_hidden_units // cfg.num_heads
         active = batch['active_entries']
+        from insite_tpu.models.nn.blocks import RelativePositionalEncoding
+        T = x.shape[1]
+        rel_k = RelativePositionalEncoding(
+            cfg.max_relative_position, head_size, name='self_pe_k')(T, T)
+        rel_v = RelativePositionalEncoding(
+            cfg.max_relative_position, head_size, name='self_pe_v')(T, T)
         for i in range(cfg.num_layer):
             x = TransformerEncoderBlock(
                 cfg.enc_seq_hidden_units, cfg.num_heads, head_size,
                 cfg.enc_seq_hidden_units * 4, cfg.enc_dropout_rate,
                 cfg.enc_dropout_rate, cfg.max_relative_position,
-                name=f'block_{i}')(x, active, train)
+                name=f'block_{i}')(x, active, train, rel_k, rel_v)
         x = nn.Dropout(cfg.enc_dropout_rate, deterministic=not train)(x)
         head = BRTreatmentOutcomeHead(cfg.enc_br_size,
                                       cfg.enc_fc_hidden_units,
@@ -107,12 +113,27 @@ class EDCTDecoderNetwork(nn.Module):
         active = batch['active_entries']
         active_encoder = batch['active_encoder_r']
         head_size = d_model // cfg.num_heads
+        from insite_tpu.models.nn.blocks import RelativePositionalEncoding
+        Tq, Tk = x.shape[1], encoder_br.shape[1]
+        rel_k = RelativePositionalEncoding(
+            cfg.max_relative_position, head_size, name='self_pe_k')(Tq, Tq)
+        rel_v = RelativePositionalEncoding(
+            cfg.max_relative_position, head_size, name='self_pe_v')(Tq, Tq)
+        # cross-attention PEs: distance measured from the encoder-sequence
+        # end (reference edct.py:99-104, cross_attn=True)
+        cross_k = RelativePositionalEncoding(
+            cfg.max_relative_position, head_size, cross_attn=True,
+            name='cross_pe_k')(Tq, Tk)
+        cross_v = RelativePositionalEncoding(
+            cfg.max_relative_position, head_size, cross_attn=True,
+            name='cross_pe_v')(Tq, Tk)
         for i in range(cfg.num_layer):
             x = TransformerDecoderBlock(
                 d_model, cfg.num_heads, head_size, d_model * 4,
                 cfg.dec_dropout_rate, cfg.dec_dropout_rate,
                 cfg.max_relative_position, name=f'block_{i}')(
-                    x, encoder_br, active, active_encoder, train)
+                    x, encoder_br, active, active_encoder, train,
+                    rel_k, rel_v, cross_k, cross_v)
         x = nn.Dropout(cfg.dec_dropout_rate, deterministic=not train)(x)
         head = BRTreatmentOutcomeHead(cfg.dec_br_size,
                                       cfg.dec_fc_hidden_units,

@@ -118,10 +118,6 @@ class ROutcomeVitalsHead(nn.Module):
             outs.append(out)
         return jnp.concatenate(outs, axis=-1)
 
-    def build_r(self, seq_output):
-        # exposed for representation extraction; mirrors build_r
-        return nn.elu(nn.Dense(self.r_size)(seq_output))
-
 
 class VariationalLSTM(nn.Module):
     """Stacked LSTM with variational dropout masks sampled once per batch
@@ -263,7 +259,7 @@ class MultiHeadedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, one_direction=True,
-                 train: bool = False):
+                 train: bool = False, rel_k=None, rel_v=None):
         hs = self.head_size or self.d_model // self.num_heads
         B, Tq, _ = query.shape
         Tk = key.shape[1]
@@ -277,7 +273,12 @@ class MultiHeadedAttention(nn.Module):
         v = proj(value, 'v_proj')
 
         scores = jnp.einsum('bhqd,bhkd->bhqk', q, k)
-        if self.rel_pos_k:
+        # rel_k/rel_v: externally computed shared PE tables (the reference
+        # creates ONE k and ONE v table per model, reused by every
+        # attention module, ct.py:92-93); falls back to per-module tables
+        if rel_k is not None:
+            scores = scores + jnp.einsum('bhqd,qkd->bhqk', q, rel_k)
+        elif self.rel_pos_k:
             R_k = RelativePositionalEncoding(
                 self.max_relative_position, hs, name='rel_pe_k')(Tq, Tk)
             scores = scores + jnp.einsum('bhqd,qkd->bhqk', q, R_k)
@@ -293,7 +294,9 @@ class MultiHeadedAttention(nn.Module):
         self.sow('intermediates', 'attention', p_attn)
         p_attn = nn.Dropout(self.dropout, deterministic=not train)(p_attn)
         out = jnp.einsum('bhqk,bhkd->bhqd', p_attn, v)
-        if self.rel_pos_v:
+        if rel_v is not None:
+            out = out + jnp.einsum('bhqv,qvd->bhqd', p_attn, rel_v)
+        elif self.rel_pos_v:
             R_v = RelativePositionalEncoding(
                 self.max_relative_position, hs, name='rel_pe_v')(Tq, Tk)
             out = out + jnp.einsum('bhqv,qvd->bhqd', p_attn, R_v)
@@ -329,15 +332,16 @@ class TransformerEncoderBlock(nn.Module):
     max_relative_position: int = 15
 
     @nn.compact
-    def __call__(self, x, active_entries, train: bool = False):
+    def __call__(self, x, active_entries, train: bool = False,
+                 rel_k=None, rel_v=None):
         mask = active_entries[:, None, None, :, 0] * \
             jnp.ones((1, 1, x.shape[1], 1))
         x = MultiHeadedAttention(
             self.attn_heads, self.hidden, self.head_size, self.attn_dropout,
-            rel_pos_k=True, rel_pos_v=True,
+            rel_pos_k=rel_k is None, rel_pos_v=rel_v is None,
             max_relative_position=self.max_relative_position,
             final_layer=True, name='self_attention')(
-                x, x, x, mask, True, train)
+                x, x, x, mask, True, train, rel_k, rel_v)
         return PositionwiseFeedForward(
             self.hidden, self.feed_forward_hidden, self.dropout,
             name='feed_forward')(x, train)
@@ -357,7 +361,8 @@ class TransformerDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, encoder_x, active_entries, active_encoder_br,
-                 train: bool = False):
+                 train: bool = False, rel_k=None, rel_v=None,
+                 cross_rel_k=None, cross_rel_v=None):
         Tq = x.shape[1]
         self_mask = active_entries[:, None, None, :, 0] * \
             jnp.ones((1, 1, Tq, 1))
@@ -365,15 +370,18 @@ class TransformerDecoderBlock(nn.Module):
                       active_entries[:, :, :1])[:, None]
         x = MultiHeadedAttention(
             self.attn_heads, self.hidden, self.head_size, self.attn_dropout,
-            rel_pos_k=True, rel_pos_v=True,
+            rel_pos_k=rel_k is None, rel_pos_v=rel_v is None,
             max_relative_position=self.max_relative_position,
-            name='self_attention')(x, x, x, self_mask, True, train)
+            name='self_attention')(x, x, x, self_mask, True, train,
+                                   rel_k, rel_v)
+        # cross-attention PEs use the cross_attn distance scheme
+        # (utils_transformer.py:57-63 / reference edct.py:99-104)
         x = MultiHeadedAttention(
             self.attn_heads, self.hidden, self.head_size, self.attn_dropout,
-            rel_pos_k=True, rel_pos_v=True,
+            rel_pos_k=False, rel_pos_v=False,
             max_relative_position=self.max_relative_position,
             name='cross_attention')(x, encoder_x, encoder_x, cross_mask,
-                                    False, train)
+                                    False, train, cross_rel_k, cross_rel_v)
         return PositionwiseFeedForward(
             self.hidden, self.feed_forward_hidden, self.dropout,
             name='feed_forward')(x, train)
@@ -395,23 +403,27 @@ class TransformerMultiInputBlock(nn.Module):
     disable_cross_attention: bool = False
 
     @nn.compact
-    def __call__(self, x_t, x_o, x_s, active_entries, train: bool = False):
+    def __call__(self, x_t, x_o, x_s, active_entries, train: bool = False,
+                 rel_k=None, rel_v=None):
         T = x_t.shape[1]
         mask = active_entries[:, None, None, :, 0] * jnp.ones((1, 1, T, 1))
 
         def mha(name):
             return MultiHeadedAttention(
                 self.attn_heads, self.hidden, self.head_size,
-                self.attn_dropout, rel_pos_k=True, rel_pos_v=True,
+                self.attn_dropout, rel_pos_k=rel_k is None,
+                rel_pos_v=rel_v is None,
                 max_relative_position=self.max_relative_position, name=name)
 
-        x_t_ = mha('self_attention_t')(x_t, x_t, x_t, mask, True, train)
-        x_o_ = mha('self_attention_o')(x_o, x_o, x_o, mask, True, train)
+        x_t_ = mha('self_attention_t')(x_t, x_t, x_t, mask, True, train,
+                                       rel_k, rel_v)
+        x_o_ = mha('self_attention_o')(x_o, x_o, x_o, mask, True, train,
+                                       rel_k, rel_v)
         if not self.disable_cross_attention:
             x_to = mha('cross_attention_to')(x_t_, x_o, x_o, mask, True,
-                                             train)
+                                             train, rel_k, rel_v)
             x_ot = mha('cross_attention_ot')(x_o_, x_t, x_t, mask, True,
-                                             train)
+                                             train, rel_k, rel_v)
         else:
             x_to, x_ot = x_t_, x_o_
         out_t = PositionwiseFeedForward(

@@ -66,7 +66,9 @@ def alpha_at_epoch(epoch, max_epochs, alpha_max, rate='exp',
     """AlphaRise (utils.py:146-163)."""
     if not update_alpha:
         return jnp.asarray(alpha_max, jnp.float32)
-    p = (epoch + 1.0) / max_epochs
+    # the reference updates alpha on_epoch_end, so epoch e trains with the
+    # value set after epoch e-1: f(e / max) — epoch 0 trains at alpha = 0
+    p = epoch / max_epochs
     if rate == 'lin':
         return p * alpha_max
     return (2.0 / (1.0 + jnp.exp(-10.0 * p)) - 1.0) * alpha_max
@@ -134,13 +136,22 @@ def fit_br_model(apply_fn: Callable, params, data: dict, cfg: TrainConfig,
     treatment_cfg = treatment_cfg or cfg
     non_treat_mask = jax.tree_util.tree_map(lambda m: not m,
                                             treatment_mask_tree)
-    opt0 = optax.masked(_base_optimizer(cfg), non_treat_mask)
-    opt1 = optax.masked(_base_optimizer(treatment_cfg), treatment_mask_tree)
+
+    def partitioned(opt, mask_tree, inv_mask_tree):
+        # optax.masked passes the RAW gradient through for masked-out
+        # leaves (a step-size-1 gradient-ascent update after
+        # apply_updates!) — explicitly zero the complement partition
+        return optax.chain(optax.masked(opt, mask_tree),
+                           optax.masked(optax.set_to_zero(), inv_mask_tree))
+
+    opt0 = partitioned(_base_optimizer(cfg), non_treat_mask,
+                       treatment_mask_tree)
+    opt1 = partitioned(_base_optimizer(treatment_cfg), treatment_mask_tree,
+                       non_treat_mask)
     opt0_state = opt0.init(params)
     opt1_state = opt1.init(params)
 
     n = data['outputs'].shape[0]
-    n_batches = max(n // cfg.batch_size, 1)
     bs = min(cfg.batch_size, n)
 
     def loss0(p, p_ema_treat, batch, alpha, rngs):
@@ -176,12 +187,12 @@ def fit_br_model(apply_fn: Callable, params, data: dict, cfg: TrainConfig,
             g0 = jax.grad(loss0)(p, ema, batch, alpha, {'dropout': r0})
             upd0, s0 = opt0.update(g0, s0, p)
             p = optax.apply_updates(p, upd0)
-            if cfg.weights_ema:
-                ema, count = _ema_update(ema, p, count, cfg.beta)
 
             g1 = jax.grad(loss1)(p, ema, batch, alpha, {'dropout': r1})
             upd1, s1 = opt1.update(g1, s1, p)
             p = optax.apply_updates(p, upd1)
+            # one EMA step per batch: each param belongs to exactly one of
+            # the reference's two EMA objects, each updated once per batch
             if cfg.weights_ema:
                 ema, count = _ema_update(ema, p, count, cfg.beta)
             return (p, s0, s1, ema, count, rng), None
