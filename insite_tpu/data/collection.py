@@ -88,7 +88,9 @@ class DatasetCollection:
         n = len(self.train_f)
         rng = np.random.RandomState(self.seed)
         perm = rng.permutation(n)
-        n_holdout = int(round(n * holdout_ratio))
+        # sklearn train_test_split takes ceil(n * ratio) holdout rows;
+        # membership differs (different shuffler) — distribution-level parity
+        n_holdout = int(np.ceil(n * holdout_ratio))
         hold_idx, train_idx = perm[:n_holdout], perm[n_holdout:]
         self.train_f_holdout = deepcopy(self.train_f)
         for k, v in list(self.train_f.data.items()):
@@ -168,9 +170,8 @@ class PkpdDatasetCollection(DatasetCollection):
                  treatment_mode='multiclass', dtype=None, noise_scale=1.0,
                  **kwargs):
         super().__init__()
-        import jax.numpy as jnp
-        dtype = dtype or (jnp.float64 if jax.config.read('jax_enable_x64')
-                          else jnp.float32)
+        from insite_tpu.core.dtypes import default_float
+        dtype = dtype or default_float()
         self.seed = seed
         self.equation = pkpd.Equation[equation_str]
         self.equation_name = equation_str

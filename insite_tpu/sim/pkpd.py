@@ -70,6 +70,15 @@ def true_dy_dt(y, t, treatment, hidden_c0, hidden_c1):
     return -c * y
 
 
+def _substeps_for(seq_length: int) -> int:
+    """Reference odeint integrates with STEPS_FOR_DT sub-steps only when
+    dt > HMAX (utils.py:87-90); for seq_length >= 300 the interval is
+    already finer than HMAX and a single Euler step is used."""
+    from insite_tpu.core.constants import HMAX
+    dt = MAX_TIME_HORIZON / seq_length
+    return STEPS_FOR_DT if dt > HMAX else 1
+
+
 def _decay_factor(c, dt, substeps: int = STEPS_FOR_DT):
     """Euler-discretised per-interval decay factor: the exact multiplier that
     ``substeps`` Euler sub-steps of ``dy/dt=-c*y`` apply over one interval."""
@@ -109,10 +118,10 @@ def _get_standard_params_jit(key, num_patients: int, equation_name: str,
 
 def get_standard_params(num_patients: int, equation: Equation, key,
                         dtype=None) -> dict:
-    dtype = dtype or default_float()
     """Patient-specific constants for variants A (clean), B (+obs noise),
     C (params linear in observed statics), D (C + shared param noise),
     M (multimodal).  Split order matches pkpd_simulation.py:96-203."""
+    dtype = dtype or default_float()
     scale = 0.5
     sigma_0 = 0.1 * scale
     sigma_1 = 0.1 * scale
@@ -176,11 +185,12 @@ def _treatment_from_rv(params, rv):
     return (rv < prob).astype(jnp.int32)
 
 
-def _factual_volumes(params, treatment, n_steps, dtype, dt):
+def _factual_volumes(params, treatment, n_steps, dtype, dt,
+                     substeps: int = STEPS_FOR_DT):
     """Closed-form batched factual rollout: ``[B, n_steps+1]`` volumes."""
     dt = jnp.asarray(dt, dtype)
     c = jnp.where(treatment == 1, params['hidden_C_1'], params['hidden_C_0'])
-    f = _decay_factor(c.astype(dtype), dt)                       # [B]
+    f = _decay_factor(c.astype(dtype), dt, substeps)             # [B]
     steps = jnp.broadcast_to(f[:, None], (f.shape[0], n_steps))  # [B, T]
     cum = jnp.cumprod(steps, axis=1)
     v0 = params['initial_volumes'].astype(dtype)
@@ -241,7 +251,8 @@ def _simulate_factual_core(params, treatment_rvs, recovery_rvs,
                            seq_length: int, dtype=jnp.float64):
     treatment = _treatment_from_rv(params, treatment_rvs)            # [B]
     volumes = _factual_volumes(params, treatment, seq_length - 1, dtype,
-                               MAX_TIME_HORIZON / seq_length)
+                               MAX_TIME_HORIZON / seq_length,
+                               _substeps_for(seq_length))
 
     B, T = volumes.shape
     idx = jnp.arange(T)
@@ -326,13 +337,15 @@ def _simulate_cf_1_step_core(params, treatment_rvs, seq_length: int,
     """
     treatment = _treatment_from_rv(params, treatment_rvs)          # [B]
     dt = jnp.asarray(MAX_TIME_HORIZON / seq_length, dtype)
-    volumes = _factual_volumes(params, treatment, seq_length - 1, dtype, dt)
+    substeps = _substeps_for(seq_length)
+    volumes = _factual_volumes(params, treatment, seq_length - 1, dtype, dt,
+                               substeps)
     B, T = volumes.shape                                           # T = 60
 
     cf_treatment = 1 - treatment
     c_cf = jnp.where(cf_treatment == 1, params['hidden_C_1'],
                      params['hidden_C_0']).astype(dtype)
-    f_cf = _decay_factor(c_cf, dt)                                 # [B]
+    f_cf = _decay_factor(c_cf, dt, substeps)                       # [B]
     # counterfactual next-step value from every factual state
     cf_next = volumes[:, :-1] * f_cf[:, None]                      # [B, T-1]
 
@@ -417,7 +430,11 @@ def _simulate_cf_seq_full(params, key, seq_length: int, ph: int,
         # distribution as the reference's in-scan splits (:489-492)
         def per_patient(k):
             def step(carry, _):
+                # reference splits twice: scan_fn splits the carry
+                # (pkpd_simulation.py:507), then the plan builder splits the
+                # sub-key again before drawing (:491-492)
                 carry, s = random.split(carry)
+                s = random.split(s)[1]
                 return carry, random.randint(s, (2 * ph, ph), 0, 2)
             _, p = lax.scan(step, k, None, length=seq_length - 1)
             return p
@@ -447,12 +464,15 @@ def _simulate_cf_seq_core(params, treatment_rvs, plans, seq_length: int,
     B = treatment_rvs.shape[0]
     treatment = _treatment_from_rv(params, treatment_rvs)
     dt = jnp.asarray(MAX_TIME_HORIZON / seq_length, dtype)
+    substeps = _substeps_for(seq_length)
     # factual grid has seq_length+1 points here (:537)
-    volumes = _factual_volumes(params, treatment, seq_length, dtype, dt)
+    volumes = _factual_volumes(params, treatment, seq_length, dtype, dt,
+                               substeps)
 
     f_arm = jnp.stack([
-        _decay_factor(params['hidden_C_0'].astype(dtype), dt),
-        _decay_factor(params['hidden_C_1'].astype(dtype), dt)], axis=1)
+        _decay_factor(params['hidden_C_0'].astype(dtype), dt, substeps),
+        _decay_factor(params['hidden_C_1'].astype(dtype), dt, substeps)],
+        axis=1)
 
     # per-plan step factors then running products    [B, T-1, 2ph, ph]
     plan_idx = plans.astype(jnp.int32)                  # [B, T-1, 2ph, ph]
