@@ -19,6 +19,9 @@ def main():
                    help='also dump the parsed runs DataFrame to CSV')
     p.add_argument('--std', action='store_true',
                    help='report std instead of the default 95%% t-CI')
+    p.add_argument('--plots', default=None, metavar='DIR',
+                   help='also render n-step (and, when multiple '
+                        'domain_conf values exist, confounding) figures')
     args = p.parse_args()
 
     import os
@@ -36,6 +39,19 @@ def main():
     tables = generate_main_results_table(df, use_95_ci=not args.std)
     for metric, table in tables.items():
         print(f'\nLatex Table:: {metric}\n{table}')
+
+    if args.plots:
+        import os
+        from insite_tpu.harness.plots import (plot_confounding_sweep,
+                                              plot_n_step_rmses)
+        os.makedirs(args.plots, exist_ok=True)
+        print('wrote', plot_n_step_rmses(
+            df, os.path.join(args.plots, 'n_step_rmse.png'),
+            use_95_ci=not args.std))
+        if 'domain_conf' in df.columns and df['domain_conf'].nunique() > 1:
+            print('wrote', plot_confounding_sweep(
+                df, os.path.join(args.plots, 'confounding.png'),
+                use_95_ci=not args.std))
 
 
 if __name__ == '__main__':
