@@ -99,12 +99,14 @@ class DatasetCollection:
                 self.train_f_holdout.data[k] = v[hold_idx]
 
     def explode_cf_treatment_seq(self, mc_samples=1):
-        """MC copies for G-Net (dataset_collection.py:99-110)."""
+        """MC views for G-Net (dataset_collection.py:99-110).  The
+        reference deepcopies because it mutates each copy in place; our
+        G-Net copies the arrays it mutates itself, so the MC list holds
+        references (25 deepcopies of a 10k-patient test set are GBs of
+        pure waste)."""
         if not hasattr(self, 'test_cf_treatment_seq_mc'):
-            self.test_cf_treatment_seq_mc = []
-            for _ in range(mc_samples):
-                copy = deepcopy(self.test_cf_treatment_seq)
-                self.test_cf_treatment_seq_mc.append(copy)
+            self.test_cf_treatment_seq_mc = \
+                [self.test_cf_treatment_seq] * mc_samples
 
 
 class RealDatasetCollection(DatasetCollection):

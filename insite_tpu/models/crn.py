@@ -10,7 +10,6 @@ evaluation decodes autoregressively (time_varying_model.py:201-217).
 
 from __future__ import annotations
 
-from copy import deepcopy
 from dataclasses import dataclass
 
 import flax.linen as nn

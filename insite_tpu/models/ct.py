@@ -6,14 +6,13 @@ utils_transformer.py:220-321).  Training runs as one jitted lax.scan program
 (see nn/training.py); multi-step prediction follows the reference's
 write-predictions-into-prev_outputs protocol (ct.py:187-203).
 
-Note: the reference shares one relative-PE table across every attention in
-every block (ct.py:88-96 passes the same module); here each attention owns
-its table — same capacity class, distribution-level parity.
+Like the reference (ct.py:88-96), ONE relative-PE k table and ONE v table
+are created per model and shared by every attention module in every block.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import flax.linen as nn

@@ -101,9 +101,10 @@ class GNet(CausalEstimator):
         tc = TrainConfig(cfg.epochs, cfg.batch_size, cfg.learning_rate)
         self.params = fit_simple(loss_fn, params, batch_data, tc, rng)
 
-        # holdout residual distribution (gnet.py:180-202)
-        holdout = self.collection.train_f_holdout
-        if len(holdout.data['outputs']):
+        # holdout residual distribution (gnet.py:180-202); with
+        # holdout_ratio <= 0 no split exists and rollouts run noise-free
+        holdout = getattr(self.collection, 'train_f_holdout', None)
+        if holdout is not None and len(holdout.data['outputs']):
             preds = self._predict_data(holdout.data)
             self.holdout_resid = np.asarray(holdout.data['outputs']) - preds
             self.holdout_resid_len = \
@@ -127,29 +128,36 @@ class GNet(CausalEstimator):
         ph = cfg.projection_horizon
         assert isinstance(datasets, list) and len(datasets) == cfg.mc_samples
         rng = np.random.RandomState(cfg.seed)
+        M = cfg.mc_samples
         n = len(datasets[0].data['prev_outputs'])
-        predicted = np.zeros((cfg.mc_samples, n, ph, cfg.dim_outcome))
-        mc_data = [{k: np.array(d.data[k]) for k in
-                    ('prev_outputs', 'current_treatments',
-                     'static_features', 'future_past_split')}
-                   for d in datasets]
+        # the M copies are identical and independent: stack them into one
+        # [M*n] batch so each rollout step is ONE jitted dispatch and ONE
+        # device fetch instead of M (serial per-copy pulls stall the remote
+        # TPU link — see CLAUDE.md); residual draws keep the reference's
+        # per-(t, m) np.random order
+        flat = {k: np.concatenate([np.array(d.data[k]) for d in datasets])
+                for k in ('prev_outputs', 'current_treatments',
+                          'static_features', 'future_past_split')}
+        rows = np.arange(M * n)
+        split = flat['future_past_split'].astype(int)
+        predicted = np.zeros((M, n, ph, cfg.dim_outcome))
         for t in range(ph + 1):
-            for m in range(cfg.mc_samples):
-                data = mc_data[m]
-                split = data['future_past_split'].astype(int)
-                outputs_scaled = self._predict_data(data)
-                if t > 0:
-                    predicted[m, :, t - 1, :] = \
-                        outputs_scaled[np.arange(n), split - 1 + t, :]
-                if self.holdout_resid is not None:
-                    ridx = rng.randint(len(self.holdout_resid), size=n)
-                    rlen = self.holdout_resid_len[ridx]
-                    resid = self.holdout_resid[
-                        ridx, np.minimum(split - 1 + t, rlen - 1), :]
-                    outputs_scaled[np.arange(n), split - 1 + t, :] += resid
-                if t < ph:
-                    data['prev_outputs'][np.arange(n), split + t, :] = \
-                        outputs_scaled[np.arange(n), split - 1 + t, :]
+            outputs_scaled = self._predict_data(flat)       # [M*n, T, D]
+            if t > 0:
+                predicted[:, :, t - 1, :] = \
+                    outputs_scaled[rows, split - 1 + t, :].reshape(
+                        M, n, cfg.dim_outcome)
+            if self.holdout_resid is not None:
+                ridx = np.concatenate(
+                    [rng.randint(len(self.holdout_resid), size=n)
+                     for _ in range(M)])
+                rlen = self.holdout_resid_len[ridx]
+                resid = self.holdout_resid[
+                    ridx, np.minimum(split - 1 + t, rlen - 1), :]
+                outputs_scaled[rows, split - 1 + t, :] += resid
+            if t < ph:
+                flat['prev_outputs'][rows, split + t, :] = \
+                    outputs_scaled[rows, split - 1 + t, :]
         return predicted.mean(0)
 
     def get_normalised_n_step_rmses(self, dataset, datasets_mc=None):

@@ -13,10 +13,7 @@ from __future__ import annotations
 from copy import deepcopy
 from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.scipy.optimize import minimize
 
 from insite_tpu.models.base import CausalEstimator
 
@@ -33,22 +30,35 @@ class MSMConfig:
 
 def logistic_fit(X, Y, max_iter=100):
     """Unregularized multi-output logistic regression (sklearn
-    LogisticRegression(penalty='none') equivalent) via BFGS in f64.
-    X: [N, D]; Y: [N, K] binary.  Returns (W [K, D], b [K])."""
-    Xj = jnp.asarray(X, jnp.float64)
-    Yj = jnp.asarray(Y, jnp.float64)
-    D = Xj.shape[1]
+    LogisticRegression(penalty='none') equivalent) via L-BFGS-B on the
+    host in true float64.  X: [N, D]; Y: [N, K] binary.
+    Returns (W [K, D], b [K]).
+
+    Host solve on purpose: with x64 disabled (the TPU compute path), a jax
+    BFGS would silently run f32, where an unregularized NLL on a
+    quasi-separable treatment column overflows the logits — the propensity
+    model is tiny, numerically touchy, host-side work (like the reference's
+    sklearn fit)."""
+    from scipy.optimize import minimize as sp_minimize
+    Xh = np.asarray(X, np.float64)
+    Yh = np.asarray(Y, np.float64)
+    N, D = Xh.shape
 
     def fit_one(y):
-        def nll(wb):
-            logits = Xj @ wb[:D] + wb[D]
-            return jnp.mean(jnp.logaddexp(0.0, logits) - y * logits)
-        res = minimize(nll, jnp.zeros(D + 1), method='BFGS', tol=1e-8,
-                       options={'maxiter': max_iter})
+        def nll_grad(wb):
+            logits = Xh @ wb[:D] + wb[D]
+            p = 1.0 / (1.0 + np.exp(-logits))
+            nll = np.mean(np.logaddexp(0.0, logits) - y * logits)
+            g_logits = (p - y) / N
+            return nll, np.concatenate([Xh.T @ g_logits,
+                                        [g_logits.sum()]])
+        res = sp_minimize(nll_grad, np.zeros(D + 1), jac=True,
+                          method='L-BFGS-B',
+                          options={'maxiter': max_iter})
         return res.x
 
-    wb = jax.vmap(fit_one, in_axes=1)(Yj)
-    return np.asarray(wb[:, :D]), np.asarray(wb[:, D])
+    wb = np.stack([fit_one(Yh[:, k]) for k in range(Yh.shape[1])])
+    return wb[:, :D], wb[:, D]
 
 
 def logistic_proba(W, b, X):
@@ -222,9 +232,11 @@ class MSM(CausalEstimator):
         pred = np.concatenate([inputs, np.ones((inputs.shape[0], 1))],
                               axis=1) @ coef
         n, T = dataset.data['active_entries'].shape[:2]
-        pred = pred.reshape(n, T - 1, cfg.dim_outcome)
-        # first step needs two previous outcomes -> duplicate next prediction
-        return np.concatenate([pred[:, :1, :], pred], axis=1)
+        pred = pred.reshape(n, T - lag, cfg.dim_outcome)
+        # the first `lag` steps lack enough history -> duplicate the first
+        # available prediction (reference does this once for lag=1)
+        pad = np.repeat(pred[:, :1, :], lag, axis=1)
+        return np.concatenate([pad, pred], axis=1)
 
     def get_autoregressive_predictions(self, dataset) -> np.ndarray:
         cfg = self.cfg
