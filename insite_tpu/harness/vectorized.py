@@ -353,7 +353,7 @@ def _tumor_params_jax(key, n, chemo_coeff, radio_coeff,
 def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
                     threshold, alpha_ridge, lam, insite, dt, gn_iters,
                     ph, patient_type_choices, beta_c_noise, extra_noise,
-                    window_size=15, lag=0):
+                    include_dosage=False, window_size=15, lag=0):
     from insite_tpu.core.dtypes import default_float
     from insite_tpu.sim.tumor import (TUMOUR_DEATH_THRESHOLD,
                                       cf_factual_core, cf_one_step_rows,
@@ -386,6 +386,16 @@ def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
     arms = (fact['chemo_application'][:, :-1] +
             2.0 * fact['radio_application'][:, :-1]).astype(jnp.int32)
     statics = ptypes.astype(dtype)[:, None]
+    if include_dosage:
+        # EQ_5's include_continuous_treatment covariate: the standard path
+        # (and the reference, continuous/dataset.py:161,191) reduces the
+        # chemo dosage to its t=0 value via static_features =
+        # current_covariates[:, 0, 1:] — and dosage[t=0] is identically 0
+        # in the simulator, so the extra input contributes only zero
+        # columns to the STLSQ design (coefficients exactly 0).  Included
+        # for feature-layout parity with the standard harness.
+        statics = jnp.concatenate(
+            [statics, fact['chemo_dosage'][:, :1].astype(dtype)], axis=-1)
 
     flat_theta, flat_y, flat_ok, flat_arm = _tumor_design(
         vol, statics, arms, lengths, library=library, joint=False, dt=dt)
@@ -419,6 +429,10 @@ def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
         valid = valid.reshape(N).astype(dtype)
         stat_r = jnp.repeat(ptypes_t.astype(dtype),
                             (seq_length - 1) * 4)[:, None]
+        if include_dosage:
+            # cf rows prepend a zero dosage step (tumor.py cf_one_step_rows)
+            stat_r = jnp.concatenate(
+                [stat_r, jnp.zeros_like(stat_r)], axis=-1)
         prev, target = rows[:, :-1], rows[:, 1:]
         if insite:
             preds, _ = insite_gn_finetune_predict(
@@ -465,6 +479,9 @@ def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
         valid = valid.reshape(N2).astype(dtype)
         stat_r = jnp.repeat(ptypes_t.astype(dtype),
                             (seq_length - 1) * P2)[:, None]
+        if include_dosage:
+            stat_r = jnp.concatenate(
+                [stat_r, jnp.zeros_like(stat_r)], axis=-1)
         prev = rows[:, :-1]
         if insite:
             n_pref = seq_length - 1
@@ -504,17 +521,19 @@ def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
 @partial(jax.jit, static_argnames=('n_train', 'n_test', 'seq_length',
                                    'insite', 'gn_iters', 'ph',
                                    'patient_type_choices', 'beta_c_noise',
-                                   'extra_noise'))
+                                   'extra_noise', 'include_dosage'))
 def _tumor_sweep_jit(keys, n_train, n_test, seq_length, coeff, threshold,
                      alpha_ridge, lam, insite, gn_iters, ph,
-                     patient_type_choices, beta_c_noise, extra_noise):
-    library = PolynomialLibrary(n_inputs=2)
+                     patient_type_choices, beta_c_noise, extra_noise,
+                     include_dosage=False):
+    library = PolynomialLibrary(n_inputs=3 if include_dosage else 2)
     fn = partial(_tumor_one_seed, n_train=n_train, n_test=n_test,
                  seq_length=seq_length, coeff=coeff, library=library,
                  threshold=threshold, alpha_ridge=alpha_ridge, lam=lam,
                  insite=insite, dt=STANDARD_DT, gn_iters=gn_iters, ph=ph,
                  patient_type_choices=patient_type_choices,
-                 beta_c_noise=beta_c_noise, extra_noise=extra_noise)
+                 beta_c_noise=beta_c_noise, extra_noise=extra_noise,
+                 include_dosage=include_dosage)
     # lax.map (sequential over seeds) instead of vmap: the tumor test sets
     # are 4x larger than EQ_4's and a 10-seed vmap of the fine-tune
     # exhausts the worker
@@ -539,10 +558,11 @@ def vectorized_tumor_sweep(dataset_name: str, n_seeds: int = 10,
                            gn_iters: int = 12,
                            projection_horizon: int = 5) -> dict:
     """Multi-seed cancer_sim / EQ_5 benchmark in one dispatch (sequential
-    lax.map over seeds inside the program). Library is the cancer-style
-    [volume, patient_type] 2-input basis (the standard EQ_5 sindy path can
-    additionally expose the chemo dosage covariate; this fast path does
-    not). Distribution-level cohort parity (jax.random, not np.random)."""
+    lax.map over seeds inside the program). Library inputs match the
+    standard harness: [volume, patient_type] for cancer_sim, plus the
+    include_continuous_treatment dosage covariate for EQ_5 (a t=0-valued
+    static that is identically zero — see _tumor_one_seed).
+    Distribution-level cohort parity (jax.random, not np.random)."""
     assert dataset_name in TUMOR_VARIANTS
     assert method in ('insite', 'sindy')
     ptc, bcn, extra = TUMOR_VARIANTS[dataset_name]
@@ -550,7 +570,8 @@ def vectorized_tumor_sweep(dataset_name: str, n_seeds: int = 10,
     out = _tumor_sweep_jit(keys, n_train, n_test, seq_length, float(coeff),
                            float(threshold), float(alpha), float(lam),
                            method == 'insite', gn_iters, projection_horizon,
-                           ptc, bcn, extra)
+                           ptc, bcn, extra,
+                           include_dosage='EQ_5' in dataset_name)
     rmse_orig, rmse_all, rmse_last, n_step, coefs = jax.device_get(out)
     from insite_tpu.harness.results import ci
     res = {'encoder_test_rmse_orig': rmse_orig,

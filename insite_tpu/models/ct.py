@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from insite_tpu.models.base import CausalEstimator
-from insite_tpu.models.nn.blocks import (BRTreatmentOutcomeHead,
+from insite_tpu.models.nn.blocks import (BRTreatmentOutcomeHead, TorchDense,
                                          TransformerMultiInputBlock)
 from insite_tpu.models.nn.training import (TrainConfig, fit_br_model,
                                            merge_by_mask,
@@ -64,11 +64,11 @@ class CTNetwork(nn.Module):
     def __call__(self, batch, alpha=0.0, train=False,
                  detach_treatment=False):
         cfg = self.cfg
-        x_t = nn.Dense(cfg.seq_hidden_units,
+        x_t = TorchDense(cfg.seq_hidden_units,
                        name='treatments_input')(batch['prev_treatments'])
-        x_o = nn.Dense(cfg.seq_hidden_units,
+        x_o = TorchDense(cfg.seq_hidden_units,
                        name='outputs_input')(batch['prev_outputs'])
-        x_s = nn.Dense(cfg.seq_hidden_units,
+        x_s = TorchDense(cfg.seq_hidden_units,
                        name='static_input')(batch['static_features'][:, None,
                                                                      :])
         active = batch['active_entries']

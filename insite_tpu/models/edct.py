@@ -18,7 +18,7 @@ import numpy as np
 
 from insite_tpu.models.base import CausalEstimator
 from insite_tpu.models.crn import _Stage, _device_batch
-from insite_tpu.models.nn.blocks import (BRTreatmentOutcomeHead,
+from insite_tpu.models.nn.blocks import (BRTreatmentOutcomeHead, TorchDense,
                                          TransformerDecoderBlock,
                                          TransformerEncoderBlock)
 from insite_tpu.models.nn.training import TrainConfig
@@ -69,7 +69,7 @@ class EDCTEncoderNetwork(nn.Module):
         statics = jnp.repeat(batch['static_features'][:, None, :],
                              x.shape[1], axis=1)
         x = jnp.concatenate([x, statics], axis=-1)
-        x = nn.Dense(cfg.enc_seq_hidden_units, name='input')(x)
+        x = TorchDense(cfg.enc_seq_hidden_units, name='input')(x)
         head_size = cfg.enc_seq_hidden_units // cfg.num_heads
         active = batch['active_entries']
         from insite_tpu.models.nn.blocks import RelativePositionalEncoding
@@ -108,7 +108,7 @@ class EDCTDecoderNetwork(nn.Module):
         statics = jnp.repeat(batch['static_features'][:, None, :],
                              x.shape[1], axis=1)
         x = jnp.concatenate([x, statics], axis=-1)
-        x = nn.Dense(d_model, name='input')(x)
+        x = TorchDense(d_model, name='input')(x)
         encoder_br = batch['encoder_r']
         active = batch['active_entries']
         active_encoder = batch['active_encoder_r']

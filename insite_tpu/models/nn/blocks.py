@@ -23,6 +23,36 @@ import jax
 import jax.numpy as jnp
 
 
+def _torch_uniform(bound):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class TorchDense(nn.Module):
+    """Dense layer with torch ``nn.Linear``'s default init
+    (``reset_parameters``: kaiming_uniform(a=sqrt(5)) kernel, which reduces
+    to U(-1/sqrt(fan_in), 1/sqrt(fan_in)), and a same-bound uniform bias).
+
+    The reference's baselines are tiny (seq_hidden_units 16-64) and train
+    only 100 epochs, so the init *scale* is part of the training dynamics;
+    flax's lecun_normal + zero-bias default measurably shifts final RMSE on
+    EQ_4_D.  Parity target: torch.nn.Linear as used throughout
+    src/models/utils.py + utils_transformer.py.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param('kernel', _torch_uniform(bound),
+                            (fan_in, self.features))
+        bias = self.param('bias', _torch_uniform(bound), (self.features,))
+        return x @ kernel + bias
+
+
 @jax.custom_vjp
 def _grad_reverse(x, scale):
     return x
@@ -70,11 +100,11 @@ class BRTreatmentOutcomeHead(nn.Module):
     balancing: str = 'grad_reverse'
 
     def setup(self):
-        self.linear1 = nn.Dense(self.br_size)
-        self.linear2 = nn.Dense(self.fc_hidden_units)
-        self.linear3 = nn.Dense(self.dim_treatments)
-        self.linear4 = nn.Dense(self.fc_hidden_units)
-        self.linear5 = nn.Dense(self.dim_outcome)
+        self.linear1 = TorchDense(self.br_size)
+        self.linear2 = TorchDense(self.fc_hidden_units)
+        self.linear3 = TorchDense(self.dim_treatments)
+        self.linear4 = TorchDense(self.fc_hidden_units)
+        self.linear5 = TorchDense(self.dim_outcome)
 
     def build_br(self, seq_output):
         return nn.elu(self.linear1(seq_output))
@@ -109,11 +139,11 @@ class ROutcomeVitalsHead(nn.Module):
 
     @nn.compact
     def __call__(self, seq_output):
-        r = nn.elu(nn.Dense(self.r_size)(seq_output))
+        r = nn.elu(TorchDense(self.r_size)(seq_output))
         outs = []
         for size in self.comp_sizes:
-            h = nn.elu(nn.Dense(self.fc_hidden_units)(r))
-            out = nn.Dense(size)(h)
+            h = nn.elu(TorchDense(self.fc_hidden_units)(r))
+            out = TorchDense(size)(h)
             r = jnp.concatenate([out, r], axis=-1)
             outs.append(out)
         return jnp.concatenate(outs, axis=-1)
@@ -144,7 +174,12 @@ class VariationalLSTM(nn.Module):
 
             W_ih = self.param(f'w_ih_{layer}', shifted, (in_dim, 4 * H))
             W_hh = self.param(f'w_hh_{layer}', shifted, (H, 4 * H))
+            # torch keeps two bias vectors (b_ih + b_hh), both U(-1/sqrt(H),
+            # 1/sqrt(H)) and summed in the gate computation — their sum is
+            # triangular-distributed, not uniform, so keep both for parity
             b = self.param(f'b_{layer}', shifted, (4 * H,))
+            b_hh = self.param(f'b_hh_{layer}', shifted, (4 * H,))
+            b = b + b_hh
 
             # the scan carry must match the gate computation's promoted
             # dtype (x @ W), not init_states' (e.g. f32 adapter output
@@ -265,7 +300,7 @@ class MultiHeadedAttention(nn.Module):
         Tk = key.shape[1]
 
         def proj(x, name):
-            y = nn.Dense(self.num_heads * hs, name=name)(x)
+            y = TorchDense(self.num_heads * hs, name=name)(x)
             return y.reshape(B, -1, self.num_heads, hs).transpose(0, 2, 1, 3)
 
         q = proj(query, 'q_proj')
@@ -302,7 +337,7 @@ class MultiHeadedAttention(nn.Module):
             out = out + jnp.einsum('bhqv,qvd->bhqd', p_attn, R_v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.num_heads * hs)
         if self.final_layer:
-            out = nn.Dense(self.d_model, name='final')(out)
+            out = TorchDense(self.d_model, name='final')(out)
         return nn.LayerNorm(epsilon=1e-6)(out + query)
 
 
@@ -313,9 +348,9 @@ class PositionwiseFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Dense(self.d_ff)(x)
+        h = TorchDense(self.d_ff)(x)
         h = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(h))
-        h = nn.Dense(self.d_model)(h)
+        h = TorchDense(self.d_model)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return nn.LayerNorm(epsilon=1e-6)(h + x)
 

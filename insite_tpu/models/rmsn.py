@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from insite_tpu.models.base import CausalEstimator
-from insite_tpu.models.nn.blocks import VariationalLSTM, bce
+from insite_tpu.models.nn.blocks import TorchDense, VariationalLSTM, bce
 from insite_tpu.models.nn.training import (TrainConfig, fit_simple,
                                            masked_mean)
 
@@ -74,11 +74,11 @@ class LSTMOutputNet(nn.Module):
     @nn.compact
     def __call__(self, x, init_state=None, train=False):
         if self.use_memory_adapter and init_state is not None:
-            init_state = nn.Dense(self.hidden, name='memory_adapter')(
+            init_state = TorchDense(self.hidden, name='memory_adapter')(
                 init_state)
         h = VariationalLSTM(self.hidden, self.num_layer, self.dropout,
                             name='lstm')(x, init_state, train)
-        return nn.Dense(self.out_dim, name='output_layer')(h), h
+        return TorchDense(self.out_dim, name='output_layer')(h), h
 
 
 def clip_normalize_stabilized_weights(sw, active_entries,
