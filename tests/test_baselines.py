@@ -144,3 +144,29 @@ def test_edct_attention_maps():
         assert B == len(coll.test_cf_one_step)
         # rows are softmax distributions
         np.testing.assert_allclose(arr.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_torch_parity_init():
+    """TorchDense / VariationalLSTM params follow torch's default init:
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) kernels AND biases (nn.Linear
+    reset_parameters), and two LSTM bias vectors (b_ih + b_hh)."""
+    import jax
+    import jax.numpy as jnp
+    from insite_tpu.models.nn.blocks import TorchDense, VariationalLSTM
+
+    fan_in, features = 64, 32
+    p = TorchDense(features).init(jax.random.PRNGKey(0),
+                                  jnp.zeros((2, fan_in)))['params']
+    bound = 1.0 / np.sqrt(fan_in)
+    for leaf in (p['kernel'], p['bias']):
+        a = np.asarray(leaf)
+        assert np.abs(a).max() <= bound
+        assert np.abs(a).max() > 0.5 * bound      # not degenerate / zeros
+    assert np.abs(np.asarray(p['bias'])).max() > 0.0
+
+    lp = VariationalLSTM(hidden_size=16).init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 5, 8)))['params']
+    assert 'b_0' in lp and 'b_hh_0' in lp
+    lb = 1.0 / np.sqrt(16)
+    for k in ('w_ih_0', 'w_hh_0', 'b_0', 'b_hh_0'):
+        assert np.abs(np.asarray(lp[k])).max() <= lb

@@ -115,3 +115,22 @@ def test_cohorts_bitwise_match_standard_collection():
                                   coll.train_f.data['cancer_volume'])
     np.testing.assert_array_equal(np.asarray(lengths),
                                   coll.train_f.data['sequence_lengths'])
+
+
+def test_tumor_sweep_eq5_includes_dosage_covariate():
+    """EQ_5 variants use the 3-input library (volume, patient_type, t=0
+    chemo dosage) matching the standard harness's
+    include_continuous_treatment layout; cancer_sim stays 2-input."""
+    from insite_tpu.harness.vectorized import vectorized_tumor_sweep
+    r = vectorized_tumor_sweep('EQ_5_A', n_seeds=1, n_train=40, n_test=6,
+                               seq_length=20, method='sindy')
+    # degree-2 interaction-only over 3 inputs: 1 + 3 + 3 = 7 features
+    assert r['global_coefs'].shape == (1, 4, 7)
+    # the dosage input is identically zero at t=0, so every feature
+    # involving it must have coefficient exactly 0
+    from insite_tpu.discovery.library import PolynomialLibrary
+    lib = PolynomialLibrary(n_inputs=3)
+    names = lib.feature_names(['x0', 'u0', 'u1'])
+    dose_cols = [i for i, nm in enumerate(names) if 'u1' in nm]
+    assert dose_cols, 'dosage features missing from the library'
+    assert np.all(r['global_coefs'][..., dose_cols] == 0.0)
