@@ -52,6 +52,10 @@ class RunConfig:
     log_dir: str = 'logs'
     # JSONL metrics sink (mirrored to MLflow when available; '' disables)
     metrics_jsonl: str = 'logs/metrics.jsonl'
+    # resume a sweep from a previous log: completed (dataset, method, seed,
+    # gamma[, override]) runs are skipped and their logged rows reused
+    # (the reference can only re-run a whole sweep — SURVEY.md §5)
+    resume_log: str = ''
 
     def flush(self):
         """CI fast path (run.py:71-81)."""

@@ -233,10 +233,39 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
                                           cfg.domain_conf,
                                           {'train_samples': n_train}))
 
+    # sweep resume: reuse completed rows from a previous log, skip their
+    # runs (errored rows are re-run; the reference's only option is a full
+    # re-sweep — its completed runs live only in the log, SURVEY.md §5)
+    done = {}
+    if cfg.resume_log:
+        from insite_tpu.harness.results import df_from_log
+
+        def _key(ds, method, seed, gamma, overrides):
+            extra = tuple(sorted(
+                (k, float(v)) for k, v in overrides.items()))
+            return (ds, method, int(seed), float(gamma), extra)
+
+        for row in df_from_log(cfg.resume_log).to_dict('records'):
+            if not row.get('errored', False):
+                ov = {k: row[k] for k in ('noise_scale', 'train_samples')
+                      if k in row and not pd.isna(row[k])}
+                done[_key(row['dataset_name'], row['method_name'],
+                          row['seed'], row['domain_conf'], ov)] = row
+        log.info(f'[Resume] {len(done)} completed runs found in '
+                 f'{cfg.resume_log}')
+
     results = []
     for args in args_for_runs:
         dataset_name, method_name, seed, domain_conf = args[:4]
         overrides = args[4] if len(args) > 4 else {}
+        if done:
+            key = _key(dataset_name, method_name, seed, domain_conf,
+                       overrides)
+            if key in done:
+                # re-log the reused row so the new log is self-contained
+                log.info(f'[Exp evaluation complete] {done[key]}')
+                results.append(done[key])
+                continue
         run_cfg = cfg
         if overrides:
             from dataclasses import replace

@@ -41,6 +41,9 @@ def main():
                    help='cache dataset collections on disk')
     p.add_argument('--tune', action='store_true',
                    help='hparam tuning (insite: vmapped lam-grid on val)')
+    p.add_argument('--resume', default=None, metavar='LOG',
+                   help='reuse completed runs from a previous sweep log '
+                        'and run only the rest')
     args = p.parse_args()
 
     cfg = (RunConfig.from_yaml(args.config) if args.config else RunConfig())
@@ -67,6 +70,8 @@ def main():
         cfg.load_from_cache = True
     if args.tune:
         cfg.tune_hparams = True
+    if args.resume:
+        cfg.resume_log = args.resume
 
     log_path = generate_log_file_path('run', cfg.log_dir)
     logger = create_logger_in_process(log_path)
