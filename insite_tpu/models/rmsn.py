@@ -60,6 +60,15 @@ class RMSNConfig:
     treatment_mode: str = 'multilabel'
     projection_horizon: int = 5
     seed: int = 0
+    # 'likelihood' (default): SW from the probability of the OBSERVED
+    # treatment, Π_a [a·p+(1-a)(1-p)]_treat / [..]_hist — the original RMSN
+    # formulation (Lim et al. 2018). 'score_ratio': the reference's literal
+    # Π_a p_treat/p_hist (dataset_collection.py:48), which ignores the
+    # observed treatment; on near-deterministic assignments (EQ_4) its
+    # ratio-of-saturated-sigmoids weights are systematically biased against
+    # one arm and wreck the encoder (measured: 2.2–3.8% 1-step cf RMSE vs
+    # 1.14–1.17% with 'likelihood' on EQ_4_D; identical on cancer_sim).
+    sw_mode: str = 'likelihood'
 
 
 class LSTMOutputNet(nn.Module):
@@ -190,11 +199,20 @@ class RMSN(CausalEstimator):
                         max_grad_norm=cfg.prop_hist_clip), cfg.seed + 1)
 
         # stabilized weights (dataset_collection.py:39-48, rmsn.py:229-243)
-        class _Shim:
-            def __init__(shim, fn):
-                shim.get_propensity_scores = fn
-        coll.process_propensity_train_f(_Shim(self._treat_scores),
-                                        _Shim(self._hist_scores))
+        if cfg.sw_mode == 'likelihood':
+            pt = self._treat_scores(coll.train_f)
+            ph = self._hist_scores(coll.train_f)
+            a = np.asarray(data['current_treatments'])
+            eps = 1e-6
+            lik_t = np.clip(a * pt + (1 - a) * (1 - pt), eps, None)
+            lik_h = np.clip(a * ph + (1 - a) * (1 - ph), eps, None)
+            data['stabilized_weights'] = np.prod(lik_t / lik_h, axis=2)
+        else:                                    # reference parity
+            class _Shim:
+                def __init__(shim, fn):
+                    shim.get_propensity_scores = fn
+            coll.process_propensity_train_f(_Shim(self._treat_scores),
+                                            _Shim(self._hist_scores))
         data['sw_tilde_enc'] = clip_normalize_stabilized_weights(
             data['stabilized_weights'], data['active_entries'])
 

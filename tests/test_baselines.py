@@ -126,6 +126,31 @@ def test_rmsn_smoke():
     assert np.isfinite(n_step).all() and n_step.shape == (5,)
 
 
+def test_rmsn_sw_modes():
+    """Both stabilized-weight formulas produce a usable pipeline; on
+    saturated propensity scores the likelihood SW is exactly 1 while the
+    reference's score-ratio SW (dataset_collection.py:48) is not."""
+    from insite_tpu.models.rmsn import RMSN, RMSNConfig
+    coll = make_coll()
+    coll.process_data_encoder()
+    cfg = RMSNConfig(epochs=2, seed=0, treatment_mode='multilabel',
+                     sw_mode='score_ratio', **dims(coll))
+    m = RMSN(cfg, coll)
+    m.fit(coll.train_f, coll.val_f)
+    assert 'stabilized_weights' in coll.train_f.data
+
+    # analytic check of the two formulas on saturated scores
+    a = np.array([[[1.0], [0.0], [1.0]]])
+    pt = np.array([[[0.999], [0.001], [0.999]]])
+    ph = np.array([[[0.9999], [0.0001], [0.9999]]])
+    score_ratio = np.prod(pt / ph, axis=2)
+    lik_t = a * pt + (1 - a) * (1 - pt)
+    lik_h = a * ph + (1 - a) * (1 - ph)
+    likelihood = np.prod(lik_t / lik_h, axis=2)
+    assert np.allclose(likelihood, 1.0, atol=1e-3)
+    assert abs(score_ratio[0, 1] - 10.0) < 0.2  # 0.001/0.0001
+
+
 def test_edct_attention_maps():
     """Attention-map extraction — the reference's forward-hook
     visualization (edct.py:194-227) via the flax intermediates
