@@ -7,6 +7,13 @@ run.py:100-102 skips wsindy elsewhere).  TPU-native version: the K window
 integrals for *every trajectory at once* are two einsum contractions against
 precomputed quadrature weights; SR3 is a fixed-iteration prox loop.
 
+Window defaults (window_len=30 of the 59-step grid, test function
+(1-s^2)^2) were selected on *factual validation* RMSE over a
+(window_len, p) grid on EQ_4 — wider/gentler windows than pysindy's
+defaults halve the counterfactual RMSE vs the reference (0.06 vs 0.102 on
+EQ_4_D) because the weak integrals average observation noise over more of
+the trajectory while the dynamics stay well within the window.
+
 Weak form on window [a, b] with phi(a)=phi(b)=0:
     integral(phi * x') = -integral(phi' * x)
 so each (trajectory, window) pair contributes one linear equation
@@ -24,7 +31,7 @@ from jax import lax
 
 
 def _test_functions(n_windows: int, window_len: int, t_len: int, seed=0,
-                    p: int = 4):
+                    p: int = 2):
     """phi and phi' sampled on the grid for K windows placed (deterministic
     rng) over [0, t_len).  Returns (starts [K], phi [K, w], dphi [K, w]) in
     grid units; scale dphi by 1/dt outside."""
@@ -42,7 +49,7 @@ def _test_functions(n_windows: int, window_len: int, t_len: int, seed=0,
 
 def weak_sindy_fit(volumes, statics, lengths, library, dt,
                    threshold: float, n_windows: int = 100,
-                   window_len: int = 20, sr3_iters: int = 1000,
+                   window_len: int = 30, sr3_iters: int = 1000,
                    trajectory_mask=None, seed: int = 0,
                    solver: str = 'stlsq'):
     """Fit coefficients by weak-form regression + SR3-l1.

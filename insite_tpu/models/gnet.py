@@ -113,11 +113,31 @@ class GNet(CausalEstimator):
             self.holdout_resid = self.holdout_resid_len = None
         return self
 
+    # Cap rows per dispatch: the stacked MC eval batch (mc_samples x
+    # exploded cf rows ~ 270k sequences) otherwise compiles a >16G-HBM
+    # program on a 16G chip.  The last chunk is zero-padded to the chunk
+    # size so every dispatch shares one compiled shape.
+    _PREDICT_CHUNK = 65536
+
     def _predict_data(self, data):
-        pred = self.net.apply({'params': self.params},
-                              jnp.asarray(_inputs(data), jnp.float32),
-                              False)
-        return np.array(pred[..., :self.cfg.dim_outcome])  # writable copy
+        x = np.asarray(_inputs(data), np.float32)
+        B, chunk = x.shape[0], self._PREDICT_CHUNK
+        if B <= chunk:
+            pred = self.net.apply({'params': self.params}, jnp.asarray(x),
+                                  False)
+            return np.array(pred[..., :self.cfg.dim_outcome])
+        outs = []
+        for s in range(0, B, chunk):
+            xb = x[s:s + chunk]
+            pad = chunk - xb.shape[0]
+            if pad:
+                xb = np.concatenate(
+                    [xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+            pred = self.net.apply({'params': self.params}, jnp.asarray(xb),
+                                  False)
+            outs.append(np.asarray(pred[:chunk - pad or chunk, ...,
+                                        :self.cfg.dim_outcome]))
+        return np.concatenate(outs)
 
     def get_predictions(self, dataset) -> np.ndarray:
         return self._predict_data(dataset.data)

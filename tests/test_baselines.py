@@ -75,6 +75,13 @@ def test_gnet_smoke(coll_multi):
     assert np.isfinite([orig, all_, last]).all()
     assert np.isfinite(n_step).all() and n_step.shape == (5,)
 
+    # chunked eval (the HBM cap for the stacked MC batch) must equal the
+    # single-dispatch path, including the zero-padded final chunk
+    full = m._predict_data(coll.test_cf_one_step.data)
+    m._PREDICT_CHUNK = 7
+    chunked = m._predict_data(coll.test_cf_one_step.data)
+    np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-6)
+
 
 def test_msm_smoke(coll_multi):
     from insite_tpu.models.msm import MSM, MSMConfig
