@@ -56,6 +56,10 @@ class RunConfig:
     # gamma[, override]) runs are skipped and their logged rows reused
     # (the reference can only re-run a whole sweep — SURVEY.md §5)
     resume_log: str = ''
+    # run each experiment in a fresh interpreter (the reference's
+    # multiprocessing-pool blast radius, run.py:91-131): a device-level
+    # failure such as an HBM OOM then cannot wedge the rest of the sweep
+    isolate_runs: bool = False
 
     def flush(self):
         """CI fast path (run.py:71-81)."""

@@ -272,8 +272,13 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
             run_cfg = replace(cfg, **overrides)
         log.info(f'[Now evaluating exp] {args}')
         try:
-            result = run_experiment(dataset_name, method_name, seed,
-                                    domain_conf, run_cfg, experiment)
+            if run_cfg.isolate_runs:
+                from insite_tpu.harness.isolated import run_isolated
+                result = run_isolated(dataset_name, method_name, seed,
+                                      domain_conf, run_cfg, experiment)
+            else:
+                result = run_experiment(dataset_name, method_name, seed,
+                                        domain_conf, run_cfg, experiment)
             result['errored'] = False
             result.update(overrides)
         except Exception as e:          # fault wall (run.py:159-169)

@@ -41,6 +41,10 @@ def main():
                    help='cache dataset collections on disk')
     p.add_argument('--tune', action='store_true',
                    help='hparam tuning (insite: vmapped lam-grid on val)')
+    p.add_argument('--isolate', action='store_true',
+                   help='run each experiment in a fresh interpreter so a '
+                        'device-level failure (e.g. HBM OOM) cannot wedge '
+                        'the rest of the sweep')
     p.add_argument('--resume', default=None, metavar='LOG',
                    help='reuse completed runs from a previous sweep log '
                         'and run only the rest')
@@ -70,6 +74,8 @@ def main():
         cfg.load_from_cache = True
     if args.tune:
         cfg.tune_hparams = True
+    if args.isolate:
+        cfg.isolate_runs = True
     if args.resume:
         cfg.resume_log = args.resume
 

@@ -129,6 +129,22 @@ def test_sweep_fault_isolation(monkeypatch, tmp_path):
     assert bool(df.iloc[0]['errored'])
 
 
+def test_isolated_run_roundtrip():
+    """--isolate executes run_experiment in a fresh interpreter and
+    returns the same metrics dict shape; a child crash raises (which the
+    sweep's fault wall turns into an errored row)."""
+    from insite_tpu.harness.isolated import run_isolated
+    cfg = RunConfig(**TINY)
+    result = run_isolated('EQ_4_D', 'sindy', 0, 2.0, cfg,
+                          Experiment.MAIN_TABLE)
+    assert np.isfinite(result['encoder_test_rmse_orig'])
+    assert 'global_equation_string' in result
+
+    with pytest.raises(RuntimeError, match='isolated run'):
+        run_isolated('NO_SUCH_DATASET', 'sindy', 0, 2.0, cfg,
+                     Experiment.MAIN_TABLE)
+
+
 @pytest.mark.parametrize('mode', ['sliding_treatment',
                                   'random_trajectories'])
 def test_cf_seq_modes_end_to_end(mode):
