@@ -6,7 +6,9 @@
   log-as-database philosophy, greppable and parseable without a server);
 - if the `mlflow` package is importable AND a tracking URI is configured,
   every call is mirrored to it — same filtering rule as the reference
-  (drop other submodels' hparams from a submodel's run).
+  (drop other submodels' hparams from a submodel's run);
+- if the `wandb` package is importable AND WANDB_PROJECT is set, runs are
+  mirrored there too (the reference's optional wandb hook, run.py:61-68).
 """
 
 from __future__ import annotations
@@ -31,6 +33,17 @@ def _mlflow_or_none(tracking_uri):
     return mlflow
 
 
+def _wandb_or_none(project):
+    if not project:
+        return None
+    try:
+        import wandb
+    except ImportError:
+        logger.info('wandb not installed — skipping wandb mirror')
+        return None
+    return wandb
+
+
 class MetricsLogger:
     """Per-run metrics sink.
 
@@ -51,6 +64,12 @@ class MetricsLogger:
         if self._mlflow is not None:
             self._mlflow.set_experiment(experiment_name)
             self._run = self._mlflow.start_run(run_name=run_name)
+        self._wandb = _wandb_or_none(os.environ.get('WANDB_PROJECT'))
+        self._wandb_run = None
+        if self._wandb is not None:
+            self._wandb_run = self._wandb.init(
+                project=os.environ['WANDB_PROJECT'], name=run_name,
+                group=experiment_name, reinit=True)
 
     def _write(self, kind: str, payload: dict, step=None):
         rec = {'ts': time.time(), 'run': self.run_name, 'kind': kind,
@@ -69,6 +88,8 @@ class MetricsLogger:
         self._write('params', flat)
         if self._mlflow is not None:
             self._mlflow.log_params(flat)
+        if self._wandb_run is not None:
+            self._wandb_run.config.update(flat, allow_val_change=True)
 
     def log_metrics(self, metrics: dict, step=None):
         metrics = {k: float(v) for k, v in metrics.items()
@@ -76,8 +97,13 @@ class MetricsLogger:
         self._write('metrics', metrics, step=step)
         if self._mlflow is not None:
             self._mlflow.log_metrics(metrics, step=step)
+        if self._wandb_run is not None:
+            self._wandb_run.log(metrics, step=step)
 
     def finish(self):
         if self._mlflow is not None and self._run is not None:
             self._mlflow.end_run()
             self._run = None
+        if self._wandb_run is not None:
+            self._wandb_run.finish()
+            self._wandb_run = None
