@@ -91,6 +91,11 @@ class RunConfig:
             raise ValueError(f'unknown RunConfig override kwargs: '
                              f'{sorted(bad_kw)}')
         raw.update(overrides)
-        raw = {k: tuple(v) if isinstance(v, list) else v
-               for k, v in raw.items()}
-        return cls(**raw)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> 'RunConfig':
+        """Rebuild from a plain (e.g. JSON round-tripped) mapping; lists
+        become tuples so fields stay hashable."""
+        return cls(**{k: tuple(v) if isinstance(v, list) else v
+                      for k, v in raw.items()})

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import subprocess
 import sys
 
@@ -33,9 +34,16 @@ def run_isolated(dataset_name: str, method_name: str, seed: int,
         'cfg': dataclasses.asdict(cfg),
         'experiment': experiment.name,
     })
+    # the child resolves `insite_tpu` via PYTHONPATH (the package need not
+    # be pip-installed, and the parent may have been launched from
+    # anywhere via `python /path/to/run.py`)
+    import insite_tpu
+    pkg_parent = os.path.dirname(os.path.dirname(insite_tpu.__file__))
+    env = dict(os.environ)
+    env['PYTHONPATH'] = pkg_parent + os.pathsep + env.get('PYTHONPATH', '')
     proc = subprocess.run(
         [sys.executable, '-m', 'insite_tpu.harness.isolated'],
-        input=payload, capture_output=True, text=True)
+        input=payload, capture_output=True, text=True, env=env)
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith(_MARKER):
             return json.loads(line[len(_MARKER):])
@@ -43,12 +51,6 @@ def run_isolated(dataset_name: str, method_name: str, seed: int,
         f'isolated run ({dataset_name}, {method_name}, seed {seed}) '
         f'failed with exit code {proc.returncode}; stderr tail:\n'
         f'{proc.stderr[-2000:]}')
-
-
-def _coerce(cfg_dict: dict):
-    from insite_tpu.harness.config import RunConfig
-    return RunConfig(**{k: tuple(v) if isinstance(v, list) else v
-                        for k, v in cfg_dict.items()})
 
 
 def _main():
@@ -63,10 +65,11 @@ def _main():
         if os.environ.get('JAX_ENABLE_X64', '').lower() in ('1', 'true'):
             jax.config.update('jax_enable_x64', True)
     spec = json.loads(sys.stdin.read())
+    from insite_tpu.harness.config import RunConfig
     from insite_tpu.harness.runner import Experiment, run_experiment
     result = run_experiment(spec['dataset_name'], spec['method_name'],
                             spec['seed'], spec['domain_conf'],
-                            _coerce(spec['cfg']),
+                            RunConfig.from_dict(spec['cfg']),
                             Experiment[spec['experiment']])
     print(_MARKER + json.dumps(result, default=float), flush=True)
 

@@ -67,9 +67,16 @@ class MetricsLogger:
         self._wandb = _wandb_or_none(os.environ.get('WANDB_PROJECT'))
         self._wandb_run = None
         if self._wandb is not None:
-            self._wandb_run = self._wandb.init(
-                project=os.environ['WANDB_PROJECT'], name=run_name,
-                group=experiment_name, reinit=True)
+            try:
+                self._wandb_run = self._wandb.init(
+                    project=os.environ['WANDB_PROJECT'], name=run_name,
+                    group=experiment_name, reinit=True,
+                    settings=self._wandb.Settings(mode='offline')
+                    if not os.environ.get('WANDB_API_KEY') else None)
+            except Exception as e:   # best-effort mirror, never fatal
+                logger.warning(f'wandb.init failed ({e}) — '
+                               f'metrics stay local-only')
+                self._wandb_run = None
 
     def _write(self, kind: str, payload: dict, step=None):
         rec = {'ts': time.time(), 'run': self.run_name, 'kind': kind,

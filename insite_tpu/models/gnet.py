@@ -126,6 +126,9 @@ class GNet(CausalEstimator):
             pred = self.net.apply({'params': self.params}, jnp.asarray(x),
                                   False)
             return np.array(pred[..., :self.cfg.dim_outcome])
+        # keep per-chunk outputs on device, fetch once at the end (the
+        # remote-TPU link stalls on loops of blocking np.asarray pulls —
+        # CLAUDE.md; the sliced outputs are small, ~[B, T, dim_outcome])
         outs = []
         for s in range(0, B, chunk):
             xb = x[s:s + chunk]
@@ -135,9 +138,8 @@ class GNet(CausalEstimator):
                     [xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
             pred = self.net.apply({'params': self.params}, jnp.asarray(xb),
                                   False)
-            outs.append(np.asarray(pred[:chunk - pad or chunk, ...,
-                                        :self.cfg.dim_outcome]))
-        return np.concatenate(outs)
+            outs.append(pred[:chunk - pad, ..., :self.cfg.dim_outcome])
+        return np.concatenate(jax.device_get(outs))
 
     def get_predictions(self, dataset) -> np.ndarray:
         return self._predict_data(dataset.data)

@@ -215,12 +215,15 @@ class RMSN(CausalEstimator):
             lik_t = np.clip(a * pt + (1 - a) * (1 - pt), eps, None)
             lik_h = np.clip(a * ph + (1 - a) * (1 - ph), eps, None)
             data['stabilized_weights'] = np.prod(lik_t / lik_h, axis=2)
-        else:                                    # reference parity
+        elif cfg.sw_mode == 'score_ratio':       # reference parity
             class _Shim:
                 def __init__(shim, fn):
                     shim.get_propensity_scores = fn
             coll.process_propensity_train_f(_Shim(self._treat_scores),
                                             _Shim(self._hist_scores))
+        else:
+            raise ValueError(f'unknown sw_mode {cfg.sw_mode!r}: expected '
+                             f"'likelihood' or 'score_ratio'")
         data['sw_tilde_enc'] = clip_normalize_stabilized_weights(
             data['stabilized_weights'], data['active_entries'])
 

@@ -76,6 +76,9 @@ def main():
         cfg.tune_hparams = True
     if args.isolate:
         cfg.isolate_runs = True
+        # isolation is pointless if the first child failure re-raises:
+        # imply the fault wall so failures become errored rows
+        cfg.debug_mode = False
     if args.resume:
         cfg.resume_log = args.resume
 
