@@ -144,43 +144,97 @@ class GNet(CausalEstimator):
     def get_predictions(self, dataset) -> np.ndarray:
         return self._predict_data(dataset.data)
 
+    def _rollout_fn(self):
+        """On-device MC rollout over one padded chunk: scan over the
+        horizon, each step one forward pass + noisy write-back into the
+        prev_outputs feature slice. Emits the CLEAN per-step outputs
+        (reference records predictions before residual injection,
+        gnet.py:247-259)."""
+        cfg = self.cfg
+        po = cfg.dim_treatments            # prev_outputs feature offset
+        do = cfg.dim_outcome
+        net = self.net
+
+        def rollout(params, x, split, ridx, resid_bank, resid_len):
+            rows = jnp.arange(x.shape[0])
+            T = x.shape[1]
+
+            def step(carry_x, scanned):
+                t, ridx_t = scanned
+                pred = net.apply({'params': params}, carry_x,
+                                 False)[..., :do]
+                idx = split - 1 + t
+                out_t = pred[rows, idx]                       # [c, do]
+                rl = resid_len[ridx_t]
+                resid = resid_bank[ridx_t, jnp.minimum(idx, rl - 1)]
+                noisy = out_t + resid
+                wt = jnp.minimum(split + t, T - 1)
+                cur = carry_x[rows, wt, po:po + do]
+                new = jnp.where(t < cfg.projection_horizon, noisy, cur)
+                carry_x = carry_x.at[rows, wt, po:po + do].set(new)
+                return carry_x, out_t
+
+            ph1 = cfg.projection_horizon + 1
+            _, outs = jax.lax.scan(step, x, (jnp.arange(ph1), ridx))
+            return outs                                       # [ph+1, c, do]
+
+        self._rollout_jit = jax.jit(rollout)
+        return self._rollout_jit
+
     def get_autoregressive_predictions(self, datasets) -> np.ndarray:
-        """MC rollouts with residual-noise injection (gnet.py:230-267)."""
+        """MC rollouts with residual-noise injection (gnet.py:230-267).
+
+        The M dataset copies are stacked into one [M*n] batch and the whole
+        (horizon+1)-step rollout runs ON DEVICE in row chunks: one input
+        push and one output fetch per chunk instead of per step (the
+        host-loop version shipped ~2.7 GB over the remote-TPU link per
+        eval). Residual draws keep the reference's per-(t, m) np.random
+        order."""
         cfg = self.cfg
         ph = cfg.projection_horizon
         assert isinstance(datasets, list) and len(datasets) == cfg.mc_samples
         rng = np.random.RandomState(cfg.seed)
         M = cfg.mc_samples
         n = len(datasets[0].data['prev_outputs'])
-        # the M copies are identical and independent: stack them into one
-        # [M*n] batch so each rollout step is ONE jitted dispatch and ONE
-        # device fetch instead of M (serial per-copy pulls stall the remote
-        # TPU link — see CLAUDE.md); residual draws keep the reference's
-        # per-(t, m) np.random order
         flat = {k: np.concatenate([np.array(d.data[k]) for d in datasets])
                 for k in ('prev_outputs', 'current_treatments',
                           'static_features', 'future_past_split')}
-        rows = np.arange(M * n)
-        split = flat['future_past_split'].astype(int)
-        predicted = np.zeros((M, n, ph, cfg.dim_outcome))
-        for t in range(ph + 1):
-            outputs_scaled = self._predict_data(flat)       # [M*n, T, D]
-            if t > 0:
-                predicted[:, :, t - 1, :] = \
-                    outputs_scaled[rows, split - 1 + t, :].reshape(
-                        M, n, cfg.dim_outcome)
-            if self.holdout_resid is not None:
-                ridx = np.concatenate(
-                    [rng.randint(len(self.holdout_resid), size=n)
-                     for _ in range(M)])
-                rlen = self.holdout_resid_len[ridx]
-                resid = self.holdout_resid[
-                    ridx, np.minimum(split - 1 + t, rlen - 1), :]
-                outputs_scaled[rows, split - 1 + t, :] += resid
-            if t < ph:
-                flat['prev_outputs'][rows, split + t, :] = \
-                    outputs_scaled[rows, split - 1 + t, :]
-        return predicted.mean(0)
+        x = np.asarray(_inputs(flat), np.float32)
+        split = flat['future_past_split'].astype(np.int32)
+        B = M * n
+
+        if self.holdout_resid is not None:
+            ridx = np.stack([
+                np.concatenate([rng.randint(len(self.holdout_resid), size=n)
+                                for _ in range(M)])
+                for _ in range(ph + 1)]).astype(np.int32)     # [ph+1, B]
+            resid_bank = jnp.asarray(self.holdout_resid, jnp.float32)
+            resid_len = jnp.asarray(self.holdout_resid_len, jnp.int32)
+        else:
+            ridx = np.zeros((ph + 1, B), np.int32)
+            resid_bank = jnp.zeros((1,) + x.shape[1:2] + (cfg.dim_outcome,),
+                                   jnp.float32)
+            resid_len = jnp.ones((1,), jnp.int32)
+
+        rollout = getattr(self, '_rollout_jit', None) or self._rollout_fn()
+        chunk = min(self._PREDICT_CHUNK, B)
+        outs = []
+        for s in range(0, B, chunk):
+            xb, sb, rb = x[s:s + chunk], split[s:s + chunk], \
+                ridx[:, s:s + chunk]
+            pad = chunk - xb.shape[0]
+            if pad:
+                xb = np.concatenate(
+                    [xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+                sb = np.concatenate([sb, np.ones(pad, sb.dtype)])
+                rb = np.concatenate(
+                    [rb, np.zeros((ph + 1, pad), rb.dtype)], axis=1)
+            out = rollout(self.params, jnp.asarray(xb), jnp.asarray(sb),
+                          jnp.asarray(rb), resid_bank, resid_len)
+            outs.append(out[1:, :chunk - pad])
+        predicted = np.concatenate(jax.device_get(outs), axis=1)
+        return predicted.transpose(1, 0, 2).reshape(
+            M, n, ph, cfg.dim_outcome).mean(0)
 
     def get_normalised_n_step_rmses(self, dataset, datasets_mc=None):
         datasets_mc = datasets_mc or self.collection.test_cf_treatment_seq_mc

@@ -81,6 +81,38 @@ def test_gnet_smoke(coll_multi):
     m._PREDICT_CHUNK = 7
     chunked = m._predict_data(coll.test_cf_one_step.data)
     np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-6)
+    del m._PREDICT_CHUNK            # back to the class default
+
+    # the on-device MC rollout must equal the straightforward host loop
+    # (per-step predict, clean recording, noisy feedback — gnet.py:230-267)
+    datasets = coll.test_cf_treatment_seq_mc
+    ph = m.cfg.projection_horizon
+    M = m.cfg.mc_samples
+    n = len(datasets[0].data['prev_outputs'])
+    rng = np.random.RandomState(m.cfg.seed)
+    flat = {k: np.concatenate([np.array(d.data[k]) for d in datasets])
+            for k in ('prev_outputs', 'current_treatments',
+                      'static_features', 'future_past_split')}
+    rows = np.arange(M * n)
+    split = flat['future_past_split'].astype(int)
+    expected = np.zeros((M, n, ph, m.cfg.dim_outcome))
+    for t in range(ph + 1):
+        outputs_scaled = m._predict_data(flat)
+        if t > 0:
+            expected[:, :, t - 1, :] = outputs_scaled[
+                rows, split - 1 + t, :].reshape(M, n, m.cfg.dim_outcome)
+        if m.holdout_resid is not None:
+            ridx = np.concatenate(
+                [rng.randint(len(m.holdout_resid), size=n)
+                 for _ in range(M)])
+            rlen = m.holdout_resid_len[ridx]
+            outputs_scaled[rows, split - 1 + t, :] += m.holdout_resid[
+                ridx, np.minimum(split - 1 + t, rlen - 1), :]
+        if t < ph:
+            flat['prev_outputs'][rows, split + t, :] = \
+                outputs_scaled[rows, split - 1 + t, :]
+    got = m.get_autoregressive_predictions(datasets)
+    np.testing.assert_allclose(got, expected.mean(0), rtol=1e-5, atol=1e-6)
 
 
 def test_msm_smoke(coll_multi):
