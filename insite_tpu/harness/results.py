@@ -106,3 +106,51 @@ def generate_main_results_table(df_results: pd.DataFrame, use_95_ci=True):
         lines += [r'\bottomrule', r'\end{tabular}']
         tables[metric] = '\n'.join(lines)
     return tables
+
+
+def parity_table(df_ours: pd.DataFrame, df_ref: pd.DataFrame,
+                 metrics=('encoder_test_rmse_orig',
+                          'decoder_test_rmse_6-step')) -> str:
+    """Side-by-side ours-vs-reference markdown table.
+
+    Both frames come from df_from_log — the reference ships its raw sweep
+    logs in the same '[Exp evaluation complete] {...}' format
+    (results/2_main_table/*.txt), so its numbers can be re-aggregated with
+    the same parser instead of transcribed by hand. Cells are
+    mean±std over seeds; '**' marks the better mean.
+    """
+    def agg(df):
+        df = df[~df.get('errored', pd.Series(False, index=df.index))
+                .fillna(False)]
+        out = {}
+        for (ds, m), g in df.groupby(['dataset_name', 'method_name']):
+            out[(ds, m)] = {k: (g[k].astype(float).mean(),
+                                g[k].astype(float).std(ddof=0), len(g))
+                            for k in metrics if k in g}
+        return out
+
+    ours, ref = agg(df_ours), agg(df_ref)
+    keys = sorted(set(ours) & set(ref))
+    if not keys:
+        return '(no overlapping (dataset, method) cells)'
+    head = '| dataset | method | n | ' + ' | '.join(
+        f'{m} ours | ref' for m in metrics) + ' |'
+    sep = '|' + '---|' * (3 + 2 * len(metrics))
+    lines = [head, sep]
+    for ds, m in keys:
+        cells = [ds, m, str(ours[(ds, m)][metrics[0]][2])]
+        for metric in metrics:
+            o = ours[(ds, m)].get(metric)
+            r = ref[(ds, m)].get(metric)
+            if o is None or r is None:
+                cells += ['—', '—']
+                continue
+            o_s = f'{o[0]:.3f}±{o[1]:.3f}'
+            r_s = f'{r[0]:.3f}±{r[1]:.3f}'
+            if o[0] <= r[0]:
+                o_s = f'**{o_s}**'
+            else:
+                r_s = f'**{r_s}**'
+            cells += [o_s, r_s]
+        lines.append('| ' + ' | '.join(cells) + ' |')
+    return '\n'.join(lines)

@@ -22,6 +22,12 @@ def main():
     p.add_argument('--plots', default=None, metavar='DIR',
                    help='also render n-step (and, when multiple '
                         'domain_conf values exist, confounding) figures')
+    p.add_argument('--vs-reference', nargs='?', metavar='REF_LOG',
+                   const='/root/reference/results/2_main_table/'
+                         'final_with_insite.txt',
+                   default=None,
+                   help='side-by-side markdown table against a reference '
+                        'sweep log (default: the shipped main-table log)')
     args = p.parse_args()
 
     import os
@@ -36,6 +42,9 @@ def main():
     if args.csv:
         df.to_csv(args.csv, index=False)
         print(f'wrote {args.csv}')
+    if args.vs_reference:
+        from insite_tpu.harness.results import parity_table
+        print(parity_table(df, df_from_log(args.vs_reference)))
     tables = generate_main_results_table(df, use_95_ci=not args.std)
     for metric, table in tables.items():
         print(f'\nLatex Table:: {metric}\n{table}')

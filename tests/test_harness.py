@@ -129,6 +129,26 @@ def test_sweep_fault_isolation(monkeypatch, tmp_path):
     assert bool(df.iloc[0]['errored'])
 
 
+def test_parity_table():
+    import pandas as pd
+    from insite_tpu.harness.results import parity_table
+    ours = pd.DataFrame([
+        {'dataset_name': 'EQ_4_D', 'method_name': 'rmsn', 'seed': 0,
+         'encoder_test_rmse_orig': 0.6, 'decoder_test_rmse_6-step': 1.2},
+        {'dataset_name': 'EQ_4_D', 'method_name': 'rmsn', 'seed': 1,
+         'encoder_test_rmse_orig': 0.8, 'decoder_test_rmse_6-step': 1.4}])
+    ref = pd.DataFrame([
+        {'dataset_name': 'EQ_4_D', 'method_name': 'rmsn', 'seed': 0,
+         'encoder_test_rmse_orig': 2.5, 'decoder_test_rmse_6-step': 1.9}])
+    md = parity_table(ours, ref)
+    assert '| EQ_4_D | rmsn | 2 |' in md
+    assert '**0.700±0.100**' in md       # ours better -> bold
+    assert '2.500±0.000' in md
+    # no overlap -> graceful message
+    empty = parity_table(ours, ref[ref.dataset_name == 'nope'])
+    assert 'no overlapping' in empty
+
+
 def test_isolated_run_roundtrip():
     """--isolate executes run_experiment in a fresh interpreter and
     returns the same metrics dict shape; a child crash raises (which the
