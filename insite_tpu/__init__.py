@@ -26,3 +26,21 @@ function over arrays, jit/vmap/shard_map-able over a `jax.sharding.Mesh`:
 """
 
 __version__ = "0.1.0"
+
+# Repo-local persistent XLA compile cache for every entrypoint (sweep CLI,
+# driver hooks, library use — bench.py set this up only for itself, so each
+# sweep process was recompiling the simulators from scratch: ~5 min of the
+# wall-clock of every neural run on the tumor family). The container's
+# sitecustomize imports jax before us, so set the config directly too.
+import os as _os
+
+_cache = _os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".jax_cache"))
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+except Exception:       # pragma: no cover - jax always present in practice
+    pass
