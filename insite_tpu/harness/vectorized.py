@@ -566,13 +566,23 @@ def vectorized_tumor_sweep(dataset_name: str, n_seeds: int = 10,
     assert dataset_name in TUMOR_VARIANTS
     assert method in ('insite', 'sindy')
     ptc, bcn, extra = TUMOR_VARIANTS[dataset_name]
-    keys = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
-    out = _tumor_sweep_jit(keys, n_train, n_test, seq_length, float(coeff),
-                           float(threshold), float(alpha), float(lam),
-                           method == 'insite', gn_iters, projection_horizon,
-                           ptc, bcn, extra,
-                           include_dosage='EQ_5' in dataset_name)
-    rmse_orig, rmse_all, rmse_last, n_step, coefs = jax.device_get(out)
+    # the EQ_5 program (dosage covariate -> 3-input library) hard-faults
+    # the TPU worker above ~5 seeds per dispatch ("TPU worker process
+    # crashed", reproducible at 10, fine at 5), so run seeds in chunks of
+    # at most 5 and concatenate on host — at most two compiled shapes
+    seed_chunk = 5
+    chunks = []
+    for s0 in range(0, n_seeds, seed_chunk):
+        keys = jnp.stack([jax.random.PRNGKey(s)
+                          for s in range(s0, min(s0 + seed_chunk,
+                                                 n_seeds))])
+        chunks.append(jax.device_get(_tumor_sweep_jit(
+            keys, n_train, n_test, seq_length, float(coeff),
+            float(threshold), float(alpha), float(lam),
+            method == 'insite', gn_iters, projection_horizon,
+            ptc, bcn, extra, include_dosage='EQ_5' in dataset_name)))
+    rmse_orig, rmse_all, rmse_last, n_step, coefs = (
+        np.concatenate([c[i] for c in chunks]) for i in range(5))
     from insite_tpu.harness.results import ci
     res = {'encoder_test_rmse_orig': rmse_orig,
            'encoder_test_rmse_all': rmse_all,
