@@ -47,6 +47,14 @@ class RunConfig:
     load_from_cache: bool = False
     force_recache: bool = False
     tune_hparams: bool = False   # insite: vmapped lam-grid search on val
+    # tuned model-hparam overlays (the reference's
+    # `+backbone/<m>_hparams/<ds>_domain_conf/<coeff>.yaml` mechanics,
+    # run.py:197-263 / config/backbone/): maps an overlay key to a dict of
+    # model-config fields. Keys, least to most specific (later wins):
+    #   '<method>'                    e.g. 'ct'
+    #   '<method>@<dataset>'          e.g. 'ct@EQ_4_D'
+    #   '<method>@<dataset>/<coeff>'  e.g. 'ct@EQ_4_D/2'
+    model_overrides: dict = field(default_factory=dict)
     flush_mode: bool = False
     debug_mode: bool = True
     log_dir: str = 'logs'

@@ -75,8 +75,36 @@ def _collection_for(dataset_name, method_name, seed, domain_conf,
     return coll
 
 
+def _apply_model_overrides(mcfg, cfg: RunConfig, method_name: str,
+                           dataset_name: str, domain_conf: float):
+    """Tuned-hparam overlays (the reference's per-dataset/per-coefficient
+    `+backbone/<m>_hparams/<ds>_domain_conf/<coeff>.yaml` mechanics,
+    run.py:197-263): merge `cfg.model_overrides` entries onto the model
+    config, least-specific key first."""
+    import dataclasses
+    mo = cfg.model_overrides or {}
+    coeff = '%g' % float(domain_conf)
+    merged = {}
+    for key in (method_name, f'{method_name}@{dataset_name}',
+                f'{method_name}@{dataset_name}/{coeff}'):
+        merged.update(mo.get(key, {}))
+    if not merged:
+        return mcfg
+    valid = {f.name for f in dataclasses.fields(mcfg)}
+    unknown = set(merged) - valid
+    if unknown:
+        raise ValueError(f'unknown {type(mcfg).__name__} fields in '
+                         f'model_overrides: {sorted(unknown)}')
+    return dataclasses.replace(mcfg, **merged)
+
+
 def _build_model(method_name, dataset_name, coll, cfg: RunConfig,
-                 experiment: Experiment, seed: int):
+                 experiment: Experiment, seed: int,
+                 domain_conf: float = 2.0):
+    def _ov(mcfg):
+        return _apply_model_overrides(mcfg, cfg, method_name, dataset_name,
+                                      domain_conf)
+
     # processing entry point per method family (train_*.py:39-49)
     if method_name in ('crn', 'edct', 'rmsn'):
         if not coll.processed_data_encoder:
@@ -102,35 +130,35 @@ def _build_model(method_name, dataset_name, coll, cfg: RunConfig,
                 experiment ==
                 Experiment.ABLATION_MORE_COMPLEX_BASIS_FUNCTIONS),
             treatment_mode=coll.treatment_mode)
-        return SINDyRegressor(mcfg, coll)
+        return SINDyRegressor(_ov(mcfg), coll)
     if method_name == 'ct':
         from insite_tpu.models.ct import CTConfig, CausalTransformer
-        return CausalTransformer(CTConfig(epochs=cfg.epochs, seed=seed,
-                                          treatment_mode=coll.treatment_mode,
-                                          **dims), coll)
+        return CausalTransformer(
+            _ov(CTConfig(epochs=cfg.epochs, seed=seed,
+                         treatment_mode=coll.treatment_mode, **dims)), coll)
     if method_name == 'crn':
         from insite_tpu.models.crn import CRN, CRNConfig
-        return CRN(CRNConfig(epochs=cfg.epochs, seed=seed,
-                             treatment_mode=coll.treatment_mode, **dims),
-                   coll)
+        return CRN(_ov(CRNConfig(epochs=cfg.epochs, seed=seed,
+                                 treatment_mode=coll.treatment_mode,
+                                 **dims)), coll)
     if method_name == 'edct':
         from insite_tpu.models.edct import EDCT, EDCTConfig
-        return EDCT(EDCTConfig(epochs=cfg.epochs, seed=seed,
-                               treatment_mode=coll.treatment_mode, **dims),
-                    coll)
+        return EDCT(_ov(EDCTConfig(epochs=cfg.epochs, seed=seed,
+                                   treatment_mode=coll.treatment_mode,
+                                   **dims)), coll)
     if method_name == 'rmsn':
         from insite_tpu.models.rmsn import RMSN, RMSNConfig
-        return RMSN(RMSNConfig(epochs=cfg.epochs, seed=seed,
-                               treatment_mode=coll.treatment_mode, **dims),
-                    coll)
+        return RMSN(_ov(RMSNConfig(epochs=cfg.epochs, seed=seed,
+                                   treatment_mode=coll.treatment_mode,
+                                   **dims)), coll)
     if method_name == 'gnet':
         from insite_tpu.models.gnet import GNet, GNetConfig
-        return GNet(GNetConfig(epochs=cfg.epochs, seed=seed,
-                               mc_samples=cfg.gnet_mc_samples, **dims),
+        return GNet(_ov(GNetConfig(epochs=cfg.epochs, seed=seed,
+                                   mc_samples=cfg.gnet_mc_samples, **dims)),
                     coll)
     if method_name == 'msm':
         from insite_tpu.models.msm import MSM, MSMConfig
-        return MSM(MSMConfig(max_epochs=cfg.epochs, **dims), coll)
+        return MSM(_ov(MSMConfig(max_epochs=cfg.epochs, **dims)), coll)
     raise NotImplementedError(method_name)
 
 
@@ -145,7 +173,7 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
     coll = _collection_for(dataset_name, method_name, seed, domain_conf,
                            cfg, experiment)
     model = _build_model(method_name, dataset_name, coll, cfg, experiment,
-                         seed)
+                         seed, domain_conf=domain_conf)
     model.fit(coll.train_f, coll.val_f)
 
     results = {}

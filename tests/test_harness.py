@@ -179,3 +179,39 @@ def test_cf_seq_modes_end_to_end(mode):
     r2 = run_experiment('cancer_sim', 'sindy', seed=0, domain_conf=2.0,
                         cfg=cfg2)
     assert np.isfinite(r2['decoder_test_rmse_6-step'])
+
+
+def test_model_overrides_precedence():
+    """Tuned-hparam overlays: method < method@dataset < method@dataset/coeff
+    (the reference's +backbone/<m>_hparams/<ds>_domain_conf/<coeff>.yaml
+    overlay chain, run.py:197-263)."""
+    from insite_tpu.harness.runner import _apply_model_overrides
+    from insite_tpu.models.ct import CTConfig
+    cfg = RunConfig(model_overrides={
+        'ct': {'learning_rate': 0.5, 'br_size': 8},
+        'ct@EQ_4_D': {'learning_rate': 0.25},
+        'ct@EQ_4_D/2': {'learning_rate': 0.125},
+    })
+    m = _apply_model_overrides(CTConfig(), cfg, 'ct', 'EQ_4_D', 2.0)
+    assert m.learning_rate == 0.125 and m.br_size == 8
+    m = _apply_model_overrides(CTConfig(), cfg, 'ct', 'EQ_4_D', 3.0)
+    assert m.learning_rate == 0.25 and m.br_size == 8
+    m = _apply_model_overrides(CTConfig(), cfg, 'ct', 'EQ_4_A', 2.0)
+    assert m.learning_rate == 0.5
+    assert _apply_model_overrides(CTConfig(), RunConfig(), 'ct', 'EQ_4_D',
+                                  2.0) == CTConfig()
+    with pytest.raises(ValueError, match='unknown CTConfig fields'):
+        _apply_model_overrides(
+            CTConfig(), RunConfig(model_overrides={'ct': {'nope': 1}}),
+            'ct', 'EQ_4_D', 2.0)
+
+
+def test_model_overrides_reach_the_model():
+    from insite_tpu.harness.runner import _build_model, _collection_for
+    cfg = RunConfig(**TINY, model_overrides={
+        'sindy@EQ_4_D': {'sindy_threshold': 0.05}})
+    coll = _collection_for('EQ_4_D', 'sindy', 0, 2.0, cfg,
+                           Experiment.MAIN_TABLE)
+    model = _build_model('sindy', 'EQ_4_D', coll, cfg,
+                         Experiment.MAIN_TABLE, 0, domain_conf=2.0)
+    assert model.cfg.sindy_threshold == 0.05
