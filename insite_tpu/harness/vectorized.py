@@ -250,8 +250,13 @@ def vectorized_confounding_sweep(equation_str: str = 'EQ_4_D',
                           g, float(threshold), float(alpha), float(lam),
                           method == 'insite', gn_iters, projection_horizon)
 
-    out = jax.jit(jax.vmap(for_gamma))(gam)
-    rmse_orig, rmse_all, rmse_last, n_step, _ = jax.device_get(out)
+    # one dispatch per gamma (vmapping the full gamma x seed grid exhausts
+    # the TPU worker at 5 x 10 pipeline instances, same limit as the tumor
+    # sweep's seed chunking); gamma is still a traced scalar so all gammas
+    # share one compiled program
+    outs = [jax.device_get(jax.jit(for_gamma)(g)) for g in gam]
+    rmse_orig, rmse_all, rmse_last, n_step, _ = (
+        np.stack([o[i] for o in outs]) for i in range(5))
     res = {'gammas': np.asarray(gammas),
            'encoder_test_rmse_orig': rmse_orig,     # [G, S]
            'encoder_test_rmse_all': rmse_all,
@@ -360,6 +365,7 @@ def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
                                       cf_seq_rows, factual_core)
     dtype = default_float()
     norm_c = TUMOUR_DEATH_THRESHOLD
+    y_clip = (0.0, float(TUMOUR_DEATH_THRESHOLD))
 
     def cohort_params(k, n):
         return _tumor_params_jax(k, n, coeff, coeff, patient_type_choices,
@@ -437,11 +443,12 @@ def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
         if insite:
             preds, _ = insite_gn_finetune_predict(
                 library, coefs, prev, stat_r, arms_r, sl, dt, lam,
-                projection_horizon=1, joint=False, gn_iters=gn_iters)
+                projection_horizon=1, joint=False, gn_iters=gn_iters,
+                y_clip=y_clip)
         else:
             preds = batched_rollout(library, coefs[None], prev[:, 0],
                                     stat_r, arms_r, dt, joint=False,
-                                    shared_coefs=True)
+                                    shared_coefs=True, y_clip=y_clip)
         active = (jnp.arange(T - 1)[None, :] < sl[:, None]).astype(dtype) \
             * valid[:, None]
         err = jnp.where(active > 0, preds - target, 0.0)
@@ -493,18 +500,18 @@ def _tumor_one_seed(key, n_train, n_test, seq_length, coeff, library,
             _, coefs_pref = insite_gn_finetune_predict(
                 library, coefs, rep(prev), rep(stat_r), rep(arms_r),
                 rep(sl), dt, lam, projection_horizon=ph, joint=False,
-                gn_iters=gn_iters)
+                gn_iters=gn_iters, y_clip=y_clip)
             coefs_rows = jnp.repeat(
                 coefs_pref.reshape(n_test, n_pref, 1,
                                    *coefs_pref.shape[1:]),
                 P2, axis=2).reshape(N2, *coefs_pref.shape[1:])
             preds = batched_rollout(library, coefs_rows, prev[:, 0],
                                     stat_r, arms_r, dt, joint=False,
-                                    shared_coefs=False)
+                                    shared_coefs=False, y_clip=y_clip)
         else:
             preds = batched_rollout(library, coefs[None], prev[:, 0],
                                     stat_r, arms_r, dt, joint=False,
-                                    shared_coefs=True)
+                                    shared_coefs=True, y_clip=y_clip)
         fact_len = (sl - ph).astype(jnp.int32)
         win = fact_len[:, None] + jnp.arange(ph)[None, :]
         ridx = jnp.arange(N2)[:, None]

@@ -77,10 +77,29 @@ class SINDyConfig:
     # rollouts on TPU (4x faster than the XLA scan at counterfactual-test
     # scale), XLA scan elsewhere; 'xla' / 'pallas' force a backend.
     rollout_backend: str = 'auto'
+    # rollout state clipping: 'auto' projects tumor-family predictions onto
+    # [0, TUMOUR_DEATH_THRESHOLD] — the range the simulators clip the
+    # ground-truth volume to at every step (cancer_simulation.py:502,702) —
+    # and leaves EQ_4 unclipped; None disables, or pass an explicit
+    # (lo, hi) tuple.
+    y_clip: object = 'auto'
 
 
 def _is_eq4(name: str) -> bool:
     return 'EQ_4' in name
+
+
+def resolve_y_clip(y_clip, dataset_name: str):
+    """'auto' -> the dataset's physical outcome range (tumor family:
+    [0, TUMOUR_DEATH_THRESHOLD], the ground-truth clip range of
+    cancer_simulation.py:502,702); EQ_4 -> None (its decay ODE cannot
+    diverge and reference parity there is exact)."""
+    if y_clip != 'auto':
+        return y_clip
+    if _is_eq4(dataset_name):
+        return None
+    from insite_tpu.sim.tumor import TUMOUR_DEATH_THRESHOLD
+    return (0.0, float(TUMOUR_DEATH_THRESHOLD))
 
 
 @partial(jax.jit, static_argnames=('library', 'joint', 'smooth', 'fd_order',
@@ -379,6 +398,9 @@ class SINDyRegressor(CausalEstimator):
             return True
         return jax.default_backend() == 'tpu'
 
+    def _y_clip(self):
+        return resolve_y_clip(self.cfg.y_clip, self.cfg.dataset_name)
+
     def _global_rollout(self, dataset):
         prev, statics, arms, lengths = self._rollout_args(dataset)
         coefs = jnp.asarray(self.coefs)
@@ -386,12 +408,14 @@ class SINDyRegressor(CausalEstimator):
             from insite_tpu.ops import pallas_batched_rollout
             preds = pallas_batched_rollout(
                 self.library, coefs[None], prev[:, 0], statics, arms,
-                self.dt, shared_coefs=True)[:self._n_rows]
+                self.dt, shared_coefs=True,
+                y_clip=self._y_clip())[:self._n_rows]
         else:
             preds = batched_rollout(self.library, coefs[None], prev[:, 0],
                                     statics, arms, self.dt,
                                     joint=self.cfg.joint_model,
-                                    shared_coefs=True)[:self._n_rows]
+                                    shared_coefs=True,
+                                    y_clip=self._y_clip())[:self._n_rows]
         # zero past-valid-length positions (can be inf on divergence; no
         # metric reads them but inf * 0 masks would produce NaN)
         valid = jnp.arange(preds.shape[1])[None, :] < \
@@ -414,12 +438,13 @@ class SINDyRegressor(CausalEstimator):
                 self.library, coefs, prev, statics, arms, lengths,
                 self.dt, lam=cfg.lam,
                 projection_horizon=projection_horizon,
-                joint=cfg.joint_model, gn_iters=cfg.gn_iters)
+                joint=cfg.joint_model, gn_iters=cfg.gn_iters,
+                y_clip=self._y_clip())
         return insite_finetune_predict(
             self.library, coefs, prev, statics, arms, lengths,
             self.dt, lam=cfg.lam, projection_horizon=projection_horizon,
             joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol,
-            bfgs_maxiter=cfg.bfgs_maxiter)
+            bfgs_maxiter=cfg.bfgs_maxiter, y_clip=self._y_clip())
 
     def get_fine_tuned_coefficients(self, dataset,
                                     projection_horizon: int = 1):
@@ -465,15 +490,22 @@ def _dy(library, coefs_sel, y, statics, arm_onehot, joint):
     return jnp.sum(theta * coefs_sel, axis=-1)
 
 
-@partial(jax.jit, static_argnames=('library', 'joint', 'shared_coefs'))
+@partial(jax.jit, static_argnames=('library', 'joint', 'shared_coefs',
+                                   'y_clip'))
 def batched_rollout(library, coefs, y0, statics, arms, dt, joint=False,
-                    shared_coefs=False):
+                    shared_coefs=False, y_clip=None):
     """Autoregressive Euler rollout of the discovered model over the whole
     batch: returns [B, T] predictions of y[1..T].
 
     coefs: [1, A, F] (shared_coefs) or [B, A, F] per-row fine-tuned.
     arms: [B, T] integer arm per step (multiclass) or [B, T, A_in] labels
     (joint/multilabel).
+    y_clip: optional (lo, hi) — project the state onto the outcome's
+    physical range after every step.  The tumor-family simulators clip the
+    ground-truth volume to [0, TUMOUR_DEATH_THRESHOLD] at every step
+    (cancer_simulation.py:502,702), so the prediction target is bounded by
+    construction; clipping the rollout to the same set is a pure
+    improvement and keeps f32 free-runs from diverging on extreme cohorts.
     """
     B = y0.shape[0]
     coefs_b = jnp.broadcast_to(coefs, (B,) + coefs.shape[1:]) \
@@ -493,6 +525,8 @@ def batched_rollout(library, coefs, y0, statics, arms, dt, joint=False,
         h = dt / STEPS_FOR_DT
         for _ in range(STEPS_FOR_DT):
             y = y + _dy(library, c, y, statics, onehot, joint) * h
+        if y_clip is not None:
+            y = jnp.clip(y, y_clip[0], y_clip[1])
         return y, y
 
     arms_t = jnp.moveaxis(arms, 1, 0)          # scan over time axis
@@ -502,10 +536,11 @@ def batched_rollout(library, coefs, y0, statics, arms, dt, joint=False,
 
 @partial(jax.jit,
          static_argnames=('library', 'projection_horizon', 'joint',
-                          'bfgs_maxiter'))
+                          'bfgs_maxiter', 'y_clip'))
 def insite_finetune_predict(library, global_coefs, prev, statics, arms,
                             lengths, dt, lam, projection_horizon: int,
-                            joint=False, bfgs_tol=1e-12, bfgs_maxiter=None):
+                            joint=False, bfgs_tol=1e-12, bfgs_maxiter=None,
+                            y_clip=None):
     """INSITE: per-row BFGS fine-tuning of the sparsity-masked coefficients,
     then rollout with the personalised model (sindy.py:569-715).
 
@@ -528,7 +563,8 @@ def insite_finetune_predict(library, global_coefs, prev, statics, arms,
         def rollout(coefs_af):
             return batched_rollout(
                 library, coefs_af[None], prev_i[None, 0], statics_i[None],
-                arms_i[None], dt, joint=joint, shared_coefs=True)[0]
+                arms_i[None], dt, joint=joint, shared_coefs=True,
+                y_clip=y_clip)[0]
 
         def prefix_mse(coefs_flat):
             c = (coefs_flat.reshape(A, F)) * sparse_mask
@@ -569,10 +605,11 @@ def insite_finetune_predict(library, global_coefs, prev, statics, arms,
 
 @partial(jax.jit,
          static_argnames=('library', 'projection_horizon', 'joint',
-                          'gn_iters'))
+                          'gn_iters', 'y_clip'))
 def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
                                lengths, dt, lam, projection_horizon: int,
-                               joint=False, gn_iters: int = 12):
+                               joint=False, gn_iters: int = 12,
+                               y_clip=None):
     """INSITE fine-tuning by damped Gauss-Newton instead of BFGS.
 
     Minimises the identical objective (f_to_min_func, sindy.py:781-794)
@@ -607,7 +644,8 @@ def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
         def rollout(coefs_af):
             return batched_rollout(
                 library, coefs_af[None], prev_i[None, 0], statics_i[None],
-                arms_i[None], dt, joint=joint, shared_coefs=True)[0]
+                arms_i[None], dt, joint=joint, shared_coefs=True,
+                y_clip=y_clip)[0]
 
         def data_residuals(coefs_flat):
             c = coefs_flat.reshape(A, F) * sparse_mask

@@ -35,7 +35,7 @@ BLOCK_B = LANES * SUBLANES  # 1024 patients per grid program
 
 
 def _kernel(coefs_ref, y0_ref, statics_ref, arms_ref, out_ref, *,
-            exps, A, F, T, dt, substeps):
+            exps, A, F, T, dt, substeps, y_clip):
     """One grid program: integrate BLOCK_B patients for all T steps.
 
     coefs_ref:   [A*F, 8, 128]  per-patient arm-major coefficients
@@ -69,6 +69,8 @@ def _kernel(coefs_ref, y0_ref, statics_ref, arms_ref, out_ref, *,
                         term = term * planes[i]
                 dy = dy + term
             y = y + h * dy
+        if y_clip is not None:
+            y = jnp.clip(y, y_clip[0], y_clip[1])
         out_ref[t] = y
         return y
 
@@ -78,10 +80,11 @@ def _kernel(coefs_ref, y0_ref, statics_ref, arms_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=('library', 'dt', 'shared_coefs',
-                                             'substeps', 'interpret'))
+                                             'substeps', 'interpret',
+                                             'y_clip'))
 def pallas_batched_rollout(library, coefs, y0, statics, arms, dt,
                            shared_coefs=False, substeps=STEPS_FOR_DT,
-                           interpret=False):
+                           interpret=False, y_clip=None):
     """Drop-in for `batched_rollout(..., joint=False)` on TPU.
 
     coefs: [1, A, F] (shared) or [B, A, F]; y0: [B]; statics: [B, S];
@@ -116,7 +119,8 @@ def pallas_batched_rollout(library, coefs, y0, statics, arms, dt,
     arms_p = fold(arms.astype(jnp.int32))              # [T, rows, 128]
 
     kernel = functools.partial(_kernel, exps=exps, A=A, F=F, T=T,
-                               dt=float(dt), substeps=substeps)
+                               dt=float(dt), substeps=substeps,
+                               y_clip=y_clip)
     out = pl.pallas_call(
         kernel,
         grid=grid,

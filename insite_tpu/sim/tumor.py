@@ -403,4 +403,15 @@ def cf_seq_rows(params, fact: dict, plans, noise, seq_length: int, ph: int):
                                    (B, T - 1, P))
     valid = jnp.broadcast_to(fact['active'][:, :, None], (B, T - 1, P))
     valid = valid & ~jnp.any(jnp.isnan(vol_rows), axis=-1)
+    # The reference drops any row whose cf trajectory contains NaN
+    # (cancer_simulation.py:745-746): with its log guard
+    # log(K/(V+1e-7)+1e-7), a volume V <= -1e-7 at any *non-final* plan
+    # step NaNs the next update (a negative final value is kept — nothing
+    # consumes it).  Our _volume_update keeps negative volumes finite
+    # (v_safe floor), so reproduce the drop explicitly: extreme patients
+    # (huge alpha) otherwise leave exploding negative "ground truth" in
+    # the test set.
+    if ph > 1:
+        neg_mid = jnp.any(cf_vols[..., :ph - 1] + 1e-7 <= 0.0, axis=-1)
+        valid = valid & ~neg_mid
     return vol_rows, chemo_rows, radio_rows, dose_rows, seq_lengths, valid

@@ -46,3 +46,32 @@ def test_four_arm_selection():
     out = pallas_batched_rollout(lib, coefs, y0, statics, arms, 1.0,
                                  shared_coefs=True, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_y_clip_bounds_divergence_and_matches_pallas():
+    """y_clip projects the rollout onto the outcome's physical range: an
+    unstable discovered model (positive feedback) stays bounded, and the
+    Pallas kernel applies the identical projection."""
+    import jax.numpy as jnp
+    lib = PolynomialLibrary(n_inputs=2)
+    F = len(lib.exponents())
+    # dy/dt = +y  -> exponential divergence without clipping
+    coefs = np.zeros((1, 2, F), np.float32)
+    y_exp = [tuple(e) for e in lib.exponents()].index((1, 0))
+    coefs[:, :, y_exp] = 1.0
+    coefs = jnp.asarray(coefs)
+    B, T = 8, 40
+    y0 = jnp.full((B,), 5.0, jnp.float32)
+    statics = jnp.ones((B, 1), jnp.float32)
+    arms = jnp.zeros((B, T), jnp.int32)
+    free = batched_rollout(lib, coefs, y0, statics, arms, 1.0,
+                           shared_coefs=True)
+    assert float(free.max()) > 1e6
+    clip = (0.0, 10.0)
+    ref = batched_rollout(lib, coefs, y0, statics, arms, 1.0,
+                          shared_coefs=True, y_clip=clip)
+    assert float(ref.max()) <= 10.0 and np.isfinite(np.asarray(ref)).all()
+    out = pallas_batched_rollout(lib, coefs, y0, statics, arms, 1.0,
+                                 shared_coefs=True, y_clip=clip,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

@@ -173,3 +173,45 @@ def test_factual_determinism():
     np.testing.assert_array_equal(a['cancer_volume'], b['cancer_volume'])
     np.testing.assert_array_equal(a['sequence_lengths'],
                                   b['sequence_lengths'])
+
+
+def test_cf_seq_rows_drops_log_domain_violations():
+    """The reference drops any cf row whose trajectory NaNs
+    (cancer_simulation.py:745-746): with its log(K/(V+1e-7)+1e-7) guard, a
+    volume <= -1e-7 at a non-final plan step NaNs the next update.  Our
+    update keeps negative volumes finite, so the drop is explicit: an
+    extreme-alpha patient whose radio step sends the volume negative must
+    be masked out of `valid`, while normal patients stay."""
+    import jax.numpy as jnp
+    from insite_tpu.sim.tumor import cf_factual_core, cf_seq_rows
+
+    T, ph, n = 12, 3, 2
+    f = jnp.float64
+    params = {
+        'initial_volumes': jnp.asarray([300.0, 300.0], f),
+        # patient 0 normal, patient 1 extreme (alpha*d + beta*d^2 >> 1)
+        'alpha': jnp.asarray([0.03, 2.0], f),
+        'beta': jnp.asarray([0.003, 0.2], f),
+        'beta_c': jnp.asarray([0.028, 0.028], f),
+        'rho': jnp.asarray([7e-3, 7e-3], f),
+        'K': jnp.full((n,), calc_volume(30.0), f),
+        'chemo_sigmoid_intercepts': jnp.full((n,), 6.5, f),
+        'radio_sigmoid_intercepts': jnp.full((n,), 6.5, f),
+        'chemo_sigmoid_betas': jnp.full((n,), 0.1, f),
+        'radio_sigmoid_betas': jnp.full((n,), 0.1, f),
+    }
+    rvs = {'noise': jnp.zeros((n, T + ph), f),
+           'recovery': jnp.ones((n, T), f),
+           'chemo_rv': jnp.full((n, T), 2.0, f),   # no factual treatment
+           'radio_rv': jnp.full((n, T), 2.0, f)}
+    fact = cf_factual_core(params, rvs, T, 15, 0)
+    # one plan: radio at the first projected step, then nothing
+    plans = jnp.zeros((n, T - 1, 1, ph, 2), f).at[:, :, :, 0, 1].set(1.0)
+    vol_rows, _, _, _, _, valid = cf_seq_rows(params, fact, plans,
+                                              rvs['noise'], T, ph)
+    valid = np.asarray(valid)
+    vols = np.asarray(vol_rows)
+    assert valid[0].any()                      # normal patient rows kept
+    assert not valid[1].any()                  # exploding rows all dropped
+    # and the dropped rows are exactly the ones with a mid-plan negative
+    assert (vols[1, 0, 0] < -1e-7).any()
