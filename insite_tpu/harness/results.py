@@ -108,6 +108,78 @@ def generate_main_results_table(df_results: pd.DataFrame, use_95_ci=True):
     return tables
 
 
+def generate_main_results_table_paper_format(df_results: pd.DataFrame,
+                                             use_95_ci=True):
+    """Paper-style LaTeX tables (results_utils.py:212-301): tabularx layout
+    with \\cref dataset headers, LTE / ODE-D method-group rows, and the
+    INSITE row shaded + bolded."""
+    df = df_results.copy()
+    if 'errored' in df.columns:
+        df = df[~df['errored'].fillna(False)].drop(columns=['errored'])
+    keep = [c for c in df.columns
+            if c in ('dataset_name', 'method_name') or 'rmse' in c]
+    df = df[keep]
+    if df.empty or 'dataset_name' not in df.columns or \
+            not any('rmse' in c for c in df.columns):
+        return {}
+    agg = [np.mean, ci] if use_95_ci else [np.mean, np.std]
+    error_metric = 'ci' if use_95_ci else 'std'
+    df_out = df.groupby(['dataset_name', 'method_name']).agg(agg) \
+        .reset_index()
+    df_out['dataset_name_order'] = \
+        df_out['dataset_name'].map(DATASET_NAME_ORDERING)
+    df_out['method_name_order'] = \
+        df_out['method_name'].map(METHOD_NAME_ORDERING)
+    df_out = df_out.sort_values(by=['dataset_name_order',
+                                    'method_name_order'])
+    df_out = df_out.drop(columns=['dataset_name_order', 'method_name_order'])
+
+    eq4, eq5 = r'{\bf\cref{eq:one-compartment-pkpd}', r'{\bf\cref{eq:tumor}'
+    name_map = {f'EQ_4_{v}': f'{eq4}.{v}' + r'}' for v in 'ABCD'}
+    name_map.update({f'EQ_5_{v}': f'{eq5}.{v}' + r'}' for v in 'ABCD'})
+    name_map['cancer_sim'] = 'Cancer PKPD'
+    ode_methods = ('sindy', 'wsindy', 'insite')
+
+    metrics = [c for c in df.columns if 'decoder_test_rmse' in c]
+    tables = {}
+    for metric in metrics:
+        n_ds = df_out.dataset_name.nunique()
+        lines = [r'\begin{tabularx}{\textwidth}{cr | *{' + f'{n_ds}' +
+                 r'}{X}}', r'\toprule',
+                 r'&{\bf Method}&' + '&'.join(
+                     name_map.get(dn, dn)
+                     for dn in df_out.dataset_name.unique()) + r'\\',
+                 r'\midrule', r'\multirow{5}{*}{\rotatebox{90}{\bf LTE}}']
+        ode_group_started = False
+        for method_name in df_out.method_name.unique():
+            if method_name in ode_methods and not ode_group_started:
+                lines += [r'\midrule',
+                          r'\multirow{3}{*}{\rotatebox{90}{\bf ODE-D}}']
+                ode_group_started = True
+            is_insite = method_name == 'insite'
+            line = (r'& \CC{black!5} INSITE' if is_insite else
+                    '&' + METHOD_NAME_MAP.get(method_name, method_name))
+            for dataset_name in df_out.dataset_name.unique():
+                row = df_out[(df_out.method_name == method_name) &
+                             (df_out.dataset_name == dataset_name)]
+                if row.empty or row[metric]['mean'].isna().all():
+                    line += r'& NA'
+                    continue
+                mean = custom_format(row[metric]['mean'].iloc[0])
+                err = row[metric][error_metric].iloc[0]
+                err = custom_format(0.0 if np.isnan(err) else err)
+                if is_insite:
+                    line += (r'& \CC{black!5} {\bf ' + mean + r'} ' +
+                             r'{\footnotesize $\pm$' + err + r'}')
+                else:
+                    line += ('&' + mean +
+                             r'{\footnotesize $\pm$' + err + r'}')
+            lines.append(line + r'\\')
+        lines += [r'\bottomrule', r'\end{tabularx}']
+        tables[metric] = '\n'.join(lines)
+    return tables
+
+
 def parity_table(df_ours: pd.DataFrame, df_ref: pd.DataFrame,
                  metrics=('encoder_test_rmse_orig',
                           'decoder_test_rmse_6-step')) -> str:

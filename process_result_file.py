@@ -19,6 +19,10 @@ def main():
                    help='also dump the parsed runs DataFrame to CSV')
     p.add_argument('--std', action='store_true',
                    help='report std instead of the default 95%% t-CI')
+    p.add_argument('--paper', action='store_true',
+                   help='emit the paper-format tabularx tables (grouped '
+                        'LTE/ODE-D rows, shaded INSITE) instead of the '
+                        'plain tabular layout')
     p.add_argument('--plots', default=None, metavar='DIR',
                    help='also render n-step (and, when multiple '
                         'domain_conf values exist, confounding) figures')
@@ -45,7 +49,13 @@ def main():
     if args.vs_reference:
         from insite_tpu.harness.results import parity_table
         print(parity_table(df, df_from_log(args.vs_reference)))
-    tables = generate_main_results_table(df, use_95_ci=not args.std)
+    if args.paper:
+        from insite_tpu.harness.results import (
+            generate_main_results_table_paper_format)
+        tables = generate_main_results_table_paper_format(
+            df, use_95_ci=not args.std)
+    else:
+        tables = generate_main_results_table(df, use_95_ci=not args.std)
     for metric, table in tables.items():
         print(f'\nLatex Table:: {metric}\n{table}')
 

@@ -215,3 +215,26 @@ def test_model_overrides_reach_the_model():
     model = _build_model('sindy', 'EQ_4_D', coll, cfg,
                          Experiment.MAIN_TABLE, 0, domain_conf=2.0)
     assert model.cfg.sindy_threshold == 0.05
+
+
+def test_paper_format_table():
+    """Paper tabularx variant (results_utils.py:212-301): group rows,
+    shaded/bolded INSITE cells, one table per n-step metric."""
+    from insite_tpu.harness.results import (
+        generate_main_results_table_paper_format)
+    import pandas as pd
+    rows = []
+    for seed in (0, 1):
+        for m in ('msm', 'insite'):
+            rows.append({'dataset_name': 'EQ_4_D', 'method_name': m,
+                         'seed': seed,
+                         'encoder_test_rmse_orig': 0.5 + 0.1 * seed,
+                         'decoder_test_rmse_2-step': 0.6 + 0.1 * seed,
+                         'decoder_test_rmse_6-step': 0.7 + 0.1 * seed})
+    tables = generate_main_results_table_paper_format(pd.DataFrame(rows))
+    assert set(tables) == {'decoder_test_rmse_2-step',
+                           'decoder_test_rmse_6-step'}
+    t = tables['decoder_test_rmse_6-step']
+    assert r'\begin{tabularx}' in t and r'\rotatebox{90}{\bf ODE-D}' in t
+    assert r'\CC{black!5} INSITE' in t and r'\CC{black!5} {\bf' in t
+    assert 'MSM' in t and r'\cref{eq:one-compartment-pkpd}.D' in t
