@@ -77,6 +77,10 @@ class SINDyConfig:
     # rollouts on TPU (4x faster than the XLA scan at counterfactual-test
     # scale), XLA scan elsewhere; 'xla' / 'pallas' force a backend.
     rollout_backend: str = 'auto'
+    # fine-tune row chunking: rows per fine-tune dispatch (None = whole
+    # cohort in one program; auto-set to 2048 for the degree-4 ablation,
+    # whose A*F-tangent Jacobian OOMs a whole-test-set dispatch)
+    finetune_chunk: Optional[int] = None
     # rollout state clipping: 'auto' projects tumor-family predictions onto
     # [0, TUMOUR_DEATH_THRESHOLD] — the range the simulators clip the
     # ground-truth volume to at every step (cancer_simulation.py:502,702) —
@@ -425,26 +429,62 @@ class SINDyRegressor(CausalEstimator):
         return ((preds - sp['output_means']) / sp['output_stds'])[..., None]
 
     def _fine_tune(self, dataset, projection_horizon: int):
-        """Run the per-patient fine-tune; returns (preds [B, T] device,
-        per-patient coefs [B, A, F] device)."""
+        """Run the per-patient fine-tune; returns (preds [B, T],
+        per-patient coefs [B, A, F]).
+
+        Large cohorts are optionally processed in fixed-size row chunks
+        (cfg.finetune_chunk): the fine-tune Jacobian carries A*F forward
+        tangents per row, and with the degree-4 ablation library one
+        whole-test-set dispatch exhausts TPU HBM (the worker hard-faults).
+        The last chunk is padded by repeating its final row — the
+        reference's pmap shard padding trick (sindy.py:810-841) — so every
+        chunk reuses one compiled shape."""
         cfg = self.cfg
         prev, statics, arms, lengths = self._rollout_args(dataset)
         if cfg.smooth_input_data:
             from insite_tpu.discovery.differentiate import savgol_smooth
             prev = savgol_smooth(prev, lengths)
         coefs = jnp.asarray(self.coefs)
-        if cfg.insite_solver == 'gauss_newton':
-            return insite_gn_finetune_predict(
-                self.library, coefs, prev, statics, arms, lengths,
-                self.dt, lam=cfg.lam,
-                projection_horizon=projection_horizon,
-                joint=cfg.joint_model, gn_iters=cfg.gn_iters,
-                y_clip=self._y_clip())
-        return insite_finetune_predict(
-            self.library, coefs, prev, statics, arms, lengths,
-            self.dt, lam=cfg.lam, projection_horizon=projection_horizon,
-            joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol,
-            bfgs_maxiter=cfg.bfgs_maxiter, y_clip=self._y_clip())
+
+        def solve(prev_c, statics_c, arms_c, lengths_c):
+            if cfg.insite_solver == 'gauss_newton':
+                return insite_gn_finetune_predict(
+                    self.library, coefs, prev_c, statics_c, arms_c,
+                    lengths_c, self.dt, lam=cfg.lam,
+                    projection_horizon=projection_horizon,
+                    joint=cfg.joint_model, gn_iters=cfg.gn_iters,
+                    y_clip=self._y_clip())
+            return insite_finetune_predict(
+                self.library, coefs, prev_c, statics_c, arms_c, lengths_c,
+                self.dt, lam=cfg.lam, projection_horizon=projection_horizon,
+                joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol,
+                bfgs_maxiter=cfg.bfgs_maxiter, y_clip=self._y_clip())
+
+        chunk = cfg.finetune_chunk
+        if chunk is None and cfg.ablation_more_complex_basis_functions:
+            chunk = 2048
+        n = prev.shape[0]
+        if not chunk or self.mesh is not None or n <= chunk:
+            return solve(prev, statics, arms, lengths)
+        preds_l, coefs_l = [], []
+        for i in range(0, n, chunk):
+            take = min(chunk, n - i)
+            pad = chunk - take
+
+            def padded(x):
+                xs = x[i:i + take]
+                if pad:
+                    xs = jnp.concatenate(
+                        [xs, jnp.repeat(xs[-1:], pad, axis=0)])
+                return xs
+
+            p, c = solve(padded(prev), padded(statics), padded(arms),
+                         padded(lengths))
+            preds_l.append(jax.device_get(p)[:take])
+            coefs_l.append(jax.device_get(c)[:take])
+        import numpy as _np
+        return jnp.asarray(_np.concatenate(preds_l)), \
+            jnp.asarray(_np.concatenate(coefs_l))
 
     def get_fine_tuned_coefficients(self, dataset,
                                     projection_horizon: int = 1):

@@ -97,3 +97,19 @@ def test_wsindy_runs_on_eq4(collection):
     orig, all_, last = m.get_normalised_masked_rmse(
         collection.test_cf_one_step, one_step_counterfactual=True)
     assert orig < 1.0            # reference A-WSINDy: 0.102
+
+
+def test_finetune_chunking_matches_unchunked(collection):
+    """finetune_chunk processes the cohort in padded fixed-size row chunks
+    (degree-4 Jacobians OOM a whole-test-set dispatch); chunked and
+    unchunked fine-tunes are row-independent and must agree."""
+    base = dict(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                sindy_alpha=0.5, lam=10.0, insite=True)
+    m_full = SINDyRegressor(SINDyConfig(**base), collection) \
+        .fit(collection.train_f)
+    m_chunk = SINDyRegressor(SINDyConfig(**base, finetune_chunk=3),
+                             collection).fit(collection.train_f)
+    p_full = m_full.get_predictions(collection.test_cf_one_step)
+    p_chunk = m_chunk.get_predictions(collection.test_cf_one_step)
+    np.testing.assert_allclose(np.asarray(p_chunk), np.asarray(p_full),
+                               rtol=1e-6, atol=1e-8)
