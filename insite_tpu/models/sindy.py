@@ -446,6 +446,14 @@ class SINDyRegressor(CausalEstimator):
             prev = savgol_smooth(prev, lengths)
         coefs = jnp.asarray(self.coefs)
 
+        # the sparse support is host-known here (self.coefs is a fitted
+        # numpy array), so the GN problem can be reduced to the active
+        # coordinates — far fewer jacfwd tangents per row
+        active_idx = tuple(
+            int(i) for i in
+            np.flatnonzero(np.abs(np.asarray(self.coefs)).reshape(-1)
+                           > 1e-3))
+
         def solve(prev_c, statics_c, arms_c, lengths_c):
             if cfg.insite_solver == 'gauss_newton':
                 return insite_gn_finetune_predict(
@@ -453,7 +461,7 @@ class SINDyRegressor(CausalEstimator):
                     lengths_c, self.dt, lam=cfg.lam,
                     projection_horizon=projection_horizon,
                     joint=cfg.joint_model, gn_iters=cfg.gn_iters,
-                    y_clip=self._y_clip())
+                    y_clip=self._y_clip(), active_idx=active_idx)
             return insite_finetune_predict(
                 self.library, coefs, prev_c, statics_c, arms_c, lengths_c,
                 self.dt, lam=cfg.lam, projection_horizon=projection_horizon,
@@ -645,11 +653,11 @@ def insite_finetune_predict(library, global_coefs, prev, statics, arms,
 
 @partial(jax.jit,
          static_argnames=('library', 'projection_horizon', 'joint',
-                          'gn_iters', 'y_clip'))
+                          'gn_iters', 'y_clip', 'active_idx'))
 def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
                                lengths, dt, lam, projection_horizon: int,
                                joint=False, gn_iters: int = 12,
-                               y_clip=None):
+                               y_clip=None, active_idx=None):
     """INSITE fine-tuning by damped Gauss-Newton instead of BFGS.
 
     Minimises the identical objective (f_to_min_func, sindy.py:781-794)
@@ -674,7 +682,27 @@ def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
     sparse_mask = (jnp.abs(global_coefs) > 1e-3).astype(prev.dtype)
     g_flat = global_coefs.reshape(-1)
     T = prev.shape[1]
-    eye = jnp.eye(K, dtype=prev.dtype)
+    # active-set reduction: when the caller knows the sparse support
+    # host-side (a static tuple of flat indices with |coef| > 1e-3), the
+    # Gauss-Newton problem shrinks from K = A*F coordinates to the 2-8
+    # active ones — jacfwd carries that many fewer forward tangents.
+    # Inactive coordinates of the full-K problem never move (their only
+    # residual is the proximal term, which starts at zero), so the reduced
+    # problem is exactly equivalent.
+    if active_idx is not None and len(active_idx) > 0:
+        act = jnp.asarray(active_idx, jnp.int32)
+
+        def to_full(c_red):
+            return jnp.zeros(K, prev.dtype).at[act].set(c_red)
+
+        g_red = g_flat[act]
+    else:
+        def to_full(c_red):
+            return c_red
+
+        g_red = g_flat
+    Kr = g_red.shape[0]
+    eye = jnp.eye(Kr, dtype=prev.dtype)
 
     def finetune_row(prev_i, statics_i, arms_i, length_i):
         prefix_mask = (jnp.arange(T - 1) <
@@ -687,25 +715,25 @@ def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
                 arms_i[None], dt, joint=joint, shared_coefs=True,
                 y_clip=y_clip)[0]
 
-        def data_residuals(coefs_flat):
-            c = coefs_flat.reshape(A, F) * sparse_mask
+        def data_residuals(coefs_red):
+            c = to_full(coefs_red).reshape(A, F) * sparse_mask
             preds = rollout(c)
             # where(), not multiply: inf preds at masked positions would
             # turn inf * 0 into NaN residuals
             return jnp.where(prefix_mask > 0, prev_i[1:] - preds[:-1], 0.0)
 
-        mse0 = jnp.sum(data_residuals(g_flat) ** 2) / n_mask
+        mse0 = jnp.sum(data_residuals(g_red) ** 2) / n_mask
         # scale so that sum(residuals^2) == objective  (guard mse0 ~ 0)
         data_scale = 1.0 / jnp.sqrt(2.5 * jnp.maximum(mse0, 1e-30) * n_mask)
         reg_scale = jnp.sqrt(lam / K)
 
-        def residuals(coefs_flat):
-            r_data = data_residuals(coefs_flat) * data_scale
-            r_reg = reg_scale * (coefs_flat - g_flat)
+        def residuals(coefs_red):
+            r_data = data_residuals(coefs_red) * data_scale
+            r_reg = reg_scale * (coefs_red - g_red)
             return jnp.concatenate([r_data, r_reg])
 
-        def objective(coefs_flat):
-            return jnp.sum(residuals(coefs_flat) ** 2)
+        def objective(coefs_red):
+            return jnp.sum(residuals(coefs_red) ** 2)
 
         def gn_step(carry, _):
             c, mu, obj = carry
@@ -724,10 +752,10 @@ def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
             return (c, mu, obj), None
 
         def do_finetune(_):
-            init = (g_flat, jnp.asarray(1e-3, prev_i.dtype),
-                    objective(g_flat))
+            init = (g_red, jnp.asarray(1e-3, prev_i.dtype),
+                    objective(g_red))
             (c, _, _), _ = lax.scan(gn_step, init, None, length=gn_iters)
-            return c.reshape(A, F) * sparse_mask
+            return to_full(c).reshape(A, F) * sparse_mask
 
         coefs_i = lax.cond(length_i <= projection_horizon,
                            lambda _: global_coefs, do_finetune, operand=None)

@@ -113,3 +113,30 @@ def test_finetune_chunking_matches_unchunked(collection):
     p_chunk = m_chunk.get_predictions(collection.test_cf_one_step)
     np.testing.assert_allclose(np.asarray(p_chunk), np.asarray(p_full),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_active_set_gn_matches_full_gn(collection):
+    """The reduced Gauss-Newton problem over the host-known sparse support
+    must match the full-K problem: inactive coordinates of the full
+    problem never move (their only residual is the proximal term, starting
+    at zero)."""
+    import jax.numpy as jnp
+    from insite_tpu.models.sindy import insite_gn_finetune_predict
+    cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                      sindy_alpha=0.5, lam=10.0, insite=True)
+    m = SINDyRegressor(cfg, collection).fit(collection.train_f)
+    prev, statics, arms, lengths = m._rollout_args(collection.val_f)
+    coefs = jnp.asarray(m.coefs)
+    act = tuple(int(i) for i in
+                np.flatnonzero(np.abs(m.coefs).reshape(-1) > 1e-3))
+    assert 0 < len(act) < m.coefs.size
+    full = insite_gn_finetune_predict(
+        m.library, coefs, prev, statics, arms, lengths, m.dt, lam=10.0,
+        projection_horizon=1)
+    red = insite_gn_finetune_predict(
+        m.library, coefs, prev, statics, arms, lengths, m.dt, lam=10.0,
+        projection_horizon=1, active_idx=act)
+    np.testing.assert_allclose(np.asarray(red[0]), np.asarray(full[0]),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(red[1]), np.asarray(full[1]),
+                               rtol=1e-6, atol=1e-9)
