@@ -121,17 +121,23 @@ def make_batches(rng, n, batch_size):
     return perm[:n_batches * batch_size].reshape(n_batches, batch_size)
 
 
-def fit_br_model(apply_fn: Callable, params, data: dict, cfg: TrainConfig,
-                 treatment_mask_tree, rng, treatment_cfg: TrainConfig = None):
-    """Two-optimizer adversarial training (time_varying_model.py:457-571).
+def make_br_train_fn(apply_fn: Callable, cfg: TrainConfig,
+                     treatment_mask_tree,
+                     treatment_cfg: TrainConfig = None) -> Callable:
+    """Build the pure two-optimizer adversarial training program
+    (time_varying_model.py:457-571) as ``run(params, data, rng) ->
+    (params, ema_params)``.
+
+    Pure in all its arguments, so it composes with the transforms:
+    ``jax.jit(run)`` is the single-seed fit and ``jax.jit(jax.vmap(run))``
+    trains a whole seed column in one dispatch (params/data/rng get a
+    leading seed axis).
 
     apply_fn(params, batch, alpha, train, rngs, detach_treatment)
         -> (treatment_logits, outcome_pred, br)
     treatment_mask_tree: pytree of bools marking the treatment-head params
         (BRTreatmentOutcomeHead.treatment_head_params = linear2/linear3,
         utils.py:79).
-    Returns (params, ema_params) — prediction should use EMA weights for the
-    non-treatment partition (predict_step, time_varying_model.py:599-608).
     """
     treatment_cfg = treatment_cfg or cfg
     non_treat_mask = jax.tree_util.tree_map(lambda m: not m,
@@ -148,11 +154,6 @@ def fit_br_model(apply_fn: Callable, params, data: dict, cfg: TrainConfig,
                        treatment_mask_tree)
     opt1 = partitioned(_base_optimizer(treatment_cfg), treatment_mask_tree,
                        non_treat_mask)
-    opt0_state = opt0.init(params)
-    opt1_state = opt1.init(params)
-
-    n = data['outputs'].shape[0]
-    bs = min(cfg.batch_size, n)
 
     def loss0(p, p_ema_treat, batch, alpha, rngs):
         if cfg.weights_ema:
@@ -171,46 +172,58 @@ def fit_br_model(apply_fn: Callable, params, data: dict, cfg: TrainConfig,
             bce_elem = alpha * bce_elem
         return masked_mean(bce_elem, batch['active_entries'][..., 0])
 
-    # --- epoch program -----------------------------------------------------
-    def epoch_step(carry, epoch):
-        p, s0, s1, ema, count, rng = carry
-        alpha = alpha_at_epoch(epoch, cfg.epochs, cfg.alpha, cfg.alpha_rate,
-                               cfg.update_alpha)
-        rng, shuffle_rng = jax.random.split(rng)
-        batches = make_batches(shuffle_rng, n, bs)
+    def run(params, data, rng):
+        n = data['outputs'].shape[0]
+        bs = min(cfg.batch_size, n)
 
-        def one_batch(carry, idx):
+        def epoch_step(carry, epoch):
             p, s0, s1, ema, count, rng = carry
-            rng, r0, r1 = jax.random.split(rng, 3)
-            batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+            alpha = alpha_at_epoch(epoch, cfg.epochs, cfg.alpha,
+                                   cfg.alpha_rate, cfg.update_alpha)
+            rng, shuffle_rng = jax.random.split(rng)
+            batches = make_batches(shuffle_rng, n, bs)
 
-            g0 = jax.grad(loss0)(p, ema, batch, alpha, {'dropout': r0})
-            upd0, s0 = opt0.update(g0, s0, p)
-            p = optax.apply_updates(p, upd0)
+            def one_batch(carry, idx):
+                p, s0, s1, ema, count, rng = carry
+                rng, r0, r1 = jax.random.split(rng, 3)
+                batch = jax.tree_util.tree_map(lambda a: a[idx], data)
 
-            g1 = jax.grad(loss1)(p, ema, batch, alpha, {'dropout': r1})
-            upd1, s1 = opt1.update(g1, s1, p)
-            p = optax.apply_updates(p, upd1)
-            # one EMA step per batch: each param belongs to exactly one of
-            # the reference's two EMA objects, each updated once per batch
-            if cfg.weights_ema:
-                ema, count = _ema_update(ema, p, count, cfg.beta)
-            return (p, s0, s1, ema, count, rng), None
+                g0 = jax.grad(loss0)(p, ema, batch, alpha, {'dropout': r0})
+                upd0, s0 = opt0.update(g0, s0, p)
+                p = optax.apply_updates(p, upd0)
 
-        carry, _ = jax.lax.scan(one_batch, (p, s0, s1, ema, count, rng),
-                                batches)
-        return carry, None
+                g1 = jax.grad(loss1)(p, ema, batch, alpha, {'dropout': r1})
+                upd1, s1 = opt1.update(g1, s1, p)
+                p = optax.apply_updates(p, upd1)
+                # one EMA step per batch: each param belongs to exactly one
+                # of the reference's two EMA objects, each updated once per
+                # batch
+                if cfg.weights_ema:
+                    ema, count = _ema_update(ema, p, count, cfg.beta)
+                return (p, s0, s1, ema, count, rng), None
 
-    @jax.jit
-    def run(params, opt0_state, opt1_state, rng):
-        ema = params
-        carry = (params, opt0_state, opt1_state, ema, jnp.asarray(0.0), rng)
+            carry, _ = jax.lax.scan(one_batch, (p, s0, s1, ema, count, rng),
+                                    batches)
+            return carry, None
+
+        carry = (params, opt0.init(params), opt1.init(params), params,
+                 jnp.asarray(0.0), rng)
         carry, _ = jax.lax.scan(epoch_step, carry,
                                 jnp.arange(cfg.epochs, dtype=jnp.float32))
         return carry[0], carry[3]
 
-    params, ema = run(params, opt0_state, opt1_state, rng)
-    return params, ema
+    return run
+
+
+def fit_br_model(apply_fn: Callable, params, data: dict, cfg: TrainConfig,
+                 treatment_mask_tree, rng, treatment_cfg: TrainConfig = None):
+    """Single-seed two-optimizer adversarial fit; returns
+    (params, ema_params) — prediction should use EMA weights for the
+    non-treatment partition (predict_step, time_varying_model.py:599-608).
+    """
+    run = make_br_train_fn(apply_fn, cfg, treatment_mask_tree,
+                           treatment_cfg)
+    return jax.jit(run)(params, data, rng)
 
 
 def fit_simple(loss_fn: Callable, params, data: dict, cfg: TrainConfig, rng):

@@ -134,3 +134,20 @@ def test_tumor_sweep_eq5_includes_dosage_covariate():
     dose_cols = [i for i, nm in enumerate(names) if 'u1' in nm]
     assert dose_cols, 'dosage features missing from the library'
     assert np.all(r['global_coefs'][..., dose_cols] == 0.0)
+
+
+def test_vectorized_ct_sweep_smoke():
+    """Whole CT seed column as one vmapped training dispatch: metric keys,
+    per-seed values finite, magnitudes at the untrained-network level for
+    2 epochs."""
+    import numpy as np
+    from insite_tpu.harness.vectorized_neural import vectorized_ct_sweep
+    r = vectorized_ct_sweep('EQ_4_D', n_seeds=2,
+                            num_patients={'train': 40, 'val': 8, 'test': 6},
+                            epochs=2)
+    assert set(r) >= {'encoder_test_rmse_orig', 'encoder_test_rmse_all',
+                      'encoder_test_rmse_last', 'decoder_test_rmse_2-step',
+                      'decoder_test_rmse_6-step'}
+    for k, v in r.items():
+        assert v.shape == (2,) and np.isfinite(v).all(), k
+        assert (v < 50).all(), k
