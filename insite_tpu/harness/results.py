@@ -140,6 +140,10 @@ def generate_main_results_table_paper_format(df_results: pd.DataFrame,
     name_map['cancer_sim'] = 'Cancer PKPD'
     ode_methods = ('sindy', 'wsindy', 'insite')
 
+    methods = list(df_out.method_name.unique())
+    lte_methods = [m for m in methods if m not in ode_methods]
+    oded_methods = [m for m in methods if m in ode_methods]
+
     metrics = [c for c in df.columns if 'decoder_test_rmse' in c]
     tables = {}
     for metric in metrics:
@@ -149,12 +153,20 @@ def generate_main_results_table_paper_format(df_results: pd.DataFrame,
                  r'&{\bf Method}&' + '&'.join(
                      name_map.get(dn, dn)
                      for dn in df_out.dataset_name.unique()) + r'\\',
-                 r'\midrule', r'\multirow{5}{*}{\rotatebox{90}{\bf LTE}}']
+                 r'\midrule']
+        # rotated group labels span exactly their group's rows, and a group
+        # that has no methods in this log emits nothing (a dangling
+        # \multirow before \midrule is uncompilable LaTeX)
+        if lte_methods:
+            lines.append(r'\multirow{' + str(len(lte_methods)) +
+                         r'}{*}{\rotatebox{90}{\bf LTE}}')
         ode_group_started = False
-        for method_name in df_out.method_name.unique():
+        for method_name in lte_methods + oded_methods:
             if method_name in ode_methods and not ode_group_started:
-                lines += [r'\midrule',
-                          r'\multirow{3}{*}{\rotatebox{90}{\bf ODE-D}}']
+                if lte_methods:
+                    lines.append(r'\midrule')
+                lines.append(r'\multirow{' + str(len(oded_methods)) +
+                             r'}{*}{\rotatebox{90}{\bf ODE-D}}')
                 ode_group_started = True
             is_insite = method_name == 'insite'
             line = (r'& \CC{black!5} INSITE' if is_insite else

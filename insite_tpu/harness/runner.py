@@ -261,6 +261,18 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
                                           cfg.domain_conf,
                                           {'train_samples': n_train}))
 
+    # a typo'd overlay key would otherwise silently apply nothing while the
+    # user believes tuned hparams were used — warn on keys no run matches
+    if cfg.model_overrides:
+        possible = set()
+        for run_args in args_for_runs:
+            ds, m, _, gamma = run_args[:4]
+            possible |= {m, f'{m}@{ds}', f'{m}@{ds}/{"%g" % float(gamma)}'}
+        unmatched = set(cfg.model_overrides) - possible
+        if unmatched:
+            log.warning(f'[sweep] model_overrides keys matching no run in '
+                        f'this sweep: {sorted(unmatched)}')
+
     # sweep resume: reuse completed rows from a previous log, skip their
     # runs (errored rows are re-run; the reference's only option is a full
     # re-sweep — its completed runs live only in the log, SURVEY.md §5)

@@ -53,18 +53,25 @@ def tune_insite_lam(model, val_f, lam_grid=INSITE_LAM_GRID,
         prev = savgol_smooth(prev, lengths)
     coefs = jnp.asarray(model.coefs)
     grid = jnp.asarray(lam_grid, prev.dtype)
+    # same clip + active-set as the prediction path (_fine_tune), so lam is
+    # selected against the objective that will actually be used
+    y_clip = model._y_clip()
+    active_idx = tuple(
+        int(i) for i in
+        np.flatnonzero(np.abs(np.asarray(model.coefs)).reshape(-1) > 1e-3))
 
     def eval_lam(lam):
         if cfg.insite_solver == 'gauss_newton':
             return insite_gn_finetune_predict(
                 model.library, coefs, prev, statics, arms, lengths,
                 model.dt, lam, projection_horizon=projection_horizon,
-                joint=cfg.joint_model, gn_iters=cfg.gn_iters)[0]
+                joint=cfg.joint_model, gn_iters=cfg.gn_iters,
+                y_clip=y_clip, active_idx=active_idx)[0]
         return insite_finetune_predict(
             model.library, coefs, prev, statics, arms, lengths, model.dt,
             lam, projection_horizon=projection_horizon,
             joint=cfg.joint_model, bfgs_tol=cfg.bfgs_tol,
-            bfgs_maxiter=cfg.bfgs_maxiter)[0]
+            bfgs_maxiter=cfg.bfgs_maxiter, y_clip=y_clip)[0]
 
     preds_g = jax.vmap(eval_lam)(grid)          # [G, B, T]
     sp = val_f.scaling_params

@@ -252,9 +252,10 @@ def vectorized_confounding_sweep(equation_str: str = 'EQ_4_D',
 
     # one dispatch per gamma (vmapping the full gamma x seed grid exhausts
     # the TPU worker at 5 x 10 pipeline instances, same limit as the tumor
-    # sweep's seed chunking); gamma is still a traced scalar so all gammas
-    # share one compiled program
-    outs = [jax.device_get(jax.jit(for_gamma)(g)) for g in gam]
+    # sweep's seed chunking); _sweep_jit is already jitted with gamma as a
+    # traced scalar, so every gamma reuses ONE compiled program, and the
+    # tiny outputs come back in one batched device_get
+    outs = jax.device_get([for_gamma(g) for g in gam])
     rmse_orig, rmse_all, rmse_last, n_step, _ = (
         np.stack([o[i] for o in outs]) for i in range(5))
     res = {'gammas': np.asarray(gammas),

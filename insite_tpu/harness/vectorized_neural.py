@@ -24,9 +24,7 @@ import jax.numpy as jnp
 from insite_tpu.data import make_collection
 from insite_tpu.eval.metrics import (normalised_masked_rmse,
                                      normalised_n_step_rmses)
-
-_BATCH_KEYS = ('prev_treatments', 'prev_outputs', 'static_features',
-               'current_treatments', 'outputs', 'active_entries')
+from insite_tpu.models.ct import _BATCH_KEYS
 
 
 def _stack_padded(dicts, keys):
@@ -56,9 +54,8 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
              'decoder_test_rmse_<k>-step': [S]} — the same metric keys as
     run_experiment, one value per seed.
     """
-    from insite_tpu.models.ct import CTConfig, CTNetwork
-    from insite_tpu.models.nn.training import (TrainConfig,
-                                               make_br_train_fn,
+    from insite_tpu.models.ct import CTConfig, CTNetwork, ct_train_config
+    from insite_tpu.models.nn.training import (make_br_train_fn,
                                                merge_by_mask,
                                                treatment_head_mask)
     num_patients = num_patients or {'train': 1000, 'val': 100, 'test': 100}
@@ -98,13 +95,7 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
     mask = treatment_head_mask(
         jax.tree_util.tree_map(lambda a: a[0], params))
 
-    tc = TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
-                     learning_rate=cfg.learning_rate,
-                     balancing=cfg.balancing, alpha=cfg.alpha,
-                     update_alpha=cfg.update_alpha,
-                     weights_ema=cfg.weights_ema, beta=cfg.beta,
-                     treatment_mode=cfg.treatment_mode,
-                     max_grad_norm=cfg.max_grad_norm)
+    tc = ct_train_config(cfg)
 
     def apply_fn(p, batch, alpha, train_flag, rngs_, detach):
         return net.apply({'params': p}, batch, alpha, train_flag, detach,

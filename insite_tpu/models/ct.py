@@ -104,6 +104,19 @@ def _device_batch(data, keys=_BATCH_KEYS, dtype=jnp.float32):
     return {k: jnp.asarray(data[k], dtype) for k in keys}
 
 
+def ct_train_config(cfg: CTConfig):
+    """CTConfig -> TrainConfig, shared by the single-seed fit and the
+    vectorized seed-column sweep (harness/vectorized_neural.py) so the two
+    paths cannot drift."""
+    return TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
+                       learning_rate=cfg.learning_rate,
+                       balancing=cfg.balancing, alpha=cfg.alpha,
+                       update_alpha=cfg.update_alpha,
+                       weights_ema=cfg.weights_ema, beta=cfg.beta,
+                       treatment_mode=cfg.treatment_mode,
+                       max_grad_norm=cfg.max_grad_norm)
+
+
 class CausalTransformer(CausalEstimator):
     model_type = 'multi'
     tuning_criterion = 'rmse'
@@ -135,13 +148,7 @@ class CausalTransformer(CausalEstimator):
         params = variables['params']
         self.treat_mask = treatment_head_mask(params)
 
-        tc = TrainConfig(epochs=cfg.epochs, batch_size=cfg.batch_size,
-                         learning_rate=cfg.learning_rate,
-                         balancing=cfg.balancing, alpha=cfg.alpha,
-                         update_alpha=cfg.update_alpha,
-                         weights_ema=cfg.weights_ema, beta=cfg.beta,
-                         treatment_mode=cfg.treatment_mode,
-                         max_grad_norm=cfg.max_grad_norm)
+        tc = ct_train_config(cfg)
         self.params, self.ema_params = fit_br_model(
             self._apply, params, data, tc, self.treat_mask, rng)
         return self

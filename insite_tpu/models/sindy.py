@@ -488,11 +488,10 @@ class SINDyRegressor(CausalEstimator):
 
             p, c = solve(padded(prev), padded(statics), padded(arms),
                          padded(lengths))
-            preds_l.append(jax.device_get(p)[:take])
-            coefs_l.append(jax.device_get(c)[:take])
-        import numpy as _np
-        return jnp.asarray(_np.concatenate(preds_l)), \
-            jnp.asarray(_np.concatenate(coefs_l))
+            preds_l.append(p[:take])
+            coefs_l.append(c[:take])
+        # results stay on device; callers device_get once at the end
+        return jnp.concatenate(preds_l), jnp.concatenate(coefs_l)
 
     def get_fine_tuned_coefficients(self, dataset,
                                     projection_horizon: int = 1):

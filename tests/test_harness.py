@@ -238,3 +238,13 @@ def test_paper_format_table():
     assert r'\begin{tabularx}' in t and r'\rotatebox{90}{\bf ODE-D}' in t
     assert r'\CC{black!5} INSITE' in t and r'\CC{black!5} {\bf' in t
     assert 'MSM' in t and r'\cref{eq:one-compartment-pkpd}.D' in t
+    assert r'\multirow{1}{*}{\rotatebox{90}{\bf LTE}}' in t
+    # ODE-only logs must not emit a dangling LTE group header
+    # (uncompilable \multirow immediately followed by \midrule)
+    ode_only = generate_main_results_table_paper_format(
+        pd.DataFrame([{'dataset_name': 'EQ_4_D', 'method_name': 'insite',
+                       'seed': s, 'decoder_test_rmse_6-step': 0.1 + s}
+                      for s in (0, 1)]))
+    t2 = ode_only['decoder_test_rmse_6-step']
+    assert 'LTE' not in t2
+    assert r'\multirow{1}{*}{\rotatebox{90}{\bf ODE-D}}' in t2
