@@ -45,9 +45,36 @@ def _stack_padded(dicts, keys):
     return out, n_rows
 
 
+def _predict_chunked(predict, params, data, chunk):
+    """Run a seed-vmapped predict over row chunks of [S, N, ...] arrays.
+
+    The CT attention maps materialize as [S, heads, T, T, N]-shaped
+    fusions; at counterfactual-test scale (N ~ 6e4 rows x 10 seeds) one
+    whole-set dispatch exceeds HBM. Chunks are padded to `chunk` rows so
+    exactly one program is compiled; outputs are fetched with a single
+    batched device_get.
+    """
+    n = next(iter(data.values())).shape[1]
+    chunk = min(chunk, n)
+    outs = []
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        piece = {}
+        for k, v in data.items():
+            p = v[:, start:end]
+            if end - start < chunk:
+                pad = np.zeros((p.shape[0], chunk - (end - start))
+                               + p.shape[2:], p.dtype)
+                p = np.concatenate([p, pad], axis=1)
+            piece[k] = jnp.asarray(p)
+        outs.append(predict(params, piece)[:, :end - start])
+    return np.concatenate(jax.device_get(outs), axis=1)
+
+
 def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
                         num_patients: dict = None, coeff: float = 2.0,
-                        epochs: int = 100, seed_start: int = 0) -> dict:
+                        epochs: int = 100, seed_start: int = 0,
+                        eval_chunk: int = 4096) -> dict:
     """Train + evaluate CT for `n_seeds` seeds in one vmapped program.
 
     Returns {'encoder_test_rmse_orig'/'all'/'last': [S],
@@ -115,9 +142,7 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
     # --- 1-step eval (exact per-seed metric on unpadded rows) -------------
     one_step, n_rows = _stack_padded(
         [c.test_cf_one_step.data for c in colls], _BATCH_KEYS)
-    preds = np.asarray(predict(pred_params,
-                               {k: jnp.asarray(v)
-                                for k, v in one_step.items()}))
+    preds = _predict_chunked(predict, pred_params, one_step, eval_chunk)
     res = {'encoder_test_rmse_orig': [], 'encoder_test_rmse_all': [],
            'encoder_test_rmse_last': []}
     for s, c in enumerate(colls):
@@ -144,9 +169,7 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
     n_idx = np.arange(N)[None, :]
     predicted = np.zeros((S, N, ph, cfg.dim_outcome), np.float32)
     for t in range(ph + 1):
-        out = np.asarray(predict(pred_params,
-                                 {k: jnp.asarray(v)
-                                  for k, v in seq.items()}))
+        out = _predict_chunked(predict, pred_params, seq, eval_chunk)
         if t < ph:
             seq['prev_outputs'][s_idx, n_idx, split + t, :] = \
                 out[s_idx, n_idx, split - 1 + t, :]

@@ -144,7 +144,7 @@ def test_vectorized_ct_sweep_smoke():
     from insite_tpu.harness.vectorized_neural import vectorized_ct_sweep
     r = vectorized_ct_sweep('EQ_4_D', n_seeds=2,
                             num_patients={'train': 40, 'val': 8, 'test': 6},
-                            epochs=2)
+                            epochs=2, eval_chunk=16)
     assert set(r) >= {'encoder_test_rmse_orig', 'encoder_test_rmse_all',
                       'encoder_test_rmse_last', 'decoder_test_rmse_2-step',
                       'decoder_test_rmse_6-step'}
