@@ -1,0 +1,78 @@
+"""Figure CLI: regenerate the paper's insight figures from sweep logs.
+
+Usage:
+    python make_figures.py --nstep logs/run-*.txt --out figures/
+    python make_figures.py --confounding logs/conf10.json --out figures/
+
+The reference buries its figure code in utils/results_utils.py:393+ and
+never ships the rendered artifacts; here the figures are first-class
+outputs (harness/plots.py) driven from the same log-as-database files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import pandas as pd
+
+
+def nstep_figure(log_paths, out_dir, datasets=None):
+    from insite_tpu.harness.plots import plot_n_step_rmses
+    from insite_tpu.harness.results import df_from_log
+    df = pd.concat([df_from_log(p) for p in log_paths], ignore_index=True)
+    if 'errored' in df.columns:
+        df = df[~df.errored.astype(bool)]
+    if datasets:
+        df = df[df.dataset_name.isin(datasets)]
+    out = os.path.join(out_dir, 'n_step_rmse.png')
+    plot_n_step_rmses(df, out)
+    return out
+
+
+def confounding_figure(json_path, out_dir, metric='encoder_test_rmse_orig'):
+    """Build the gamma-sweep frame from a vectorized-confounding JSON
+    ({method: {gammas, <metric>: [n_gamma][n_seed]}}) and plot it."""
+    from insite_tpu.harness.plots import plot_confounding_sweep
+    with open(json_path) as f:
+        grid = json.load(f)
+    rows = []
+    for method, d in grid.items():
+        for gi, gamma in enumerate(d['gammas']):
+            metrics = {k: v for k, v in d.items() if k != 'gammas'}
+            n_seeds = len(next(iter(metrics.values()))[gi])
+            for s in range(n_seeds):
+                rows.append({'method_name': method, 'domain_conf': gamma,
+                             'seed': s,
+                             **{k: v[gi][s] for k, v in metrics.items()}})
+    df = pd.DataFrame(rows)
+    out = os.path.join(out_dir, 'confounding_sweep.png')
+    plot_confounding_sweep(df, out, metric=metric)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--nstep', nargs='*', default=[],
+                    help='sweep logs for the n-step RMSE panels')
+    ap.add_argument('--datasets', nargs='*', default=None,
+                    help='restrict n-step panels to these datasets')
+    ap.add_argument('--confounding', default=None,
+                    help='vectorized confounding-grid JSON')
+    ap.add_argument('--out', default='figures')
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    made = []
+    if args.nstep:
+        made.append(nstep_figure(args.nstep, args.out, args.datasets))
+    if args.confounding:
+        made.append(confounding_figure(args.confounding, args.out))
+    for p in made:
+        print('wrote', p)
+    if not made:
+        print('nothing to do (pass --nstep and/or --confounding)')
+
+
+if __name__ == '__main__':
+    main()
