@@ -205,7 +205,11 @@ class PkpdDatasetCollection(DatasetCollection):
                 data = pkpd.simulate_counterfactuals_treatment_seq(
                     params, max_seq_length, projection_horizon, sub,
                     self.equation, cf_seq_mode=cf_seq_mode, dtype=dtype)
-            return SeqDataset(data, name, norm_const=MAX_VALUE)
+            ds = SeqDataset(data, name, norm_const=MAX_VALUE)
+            # ground truth for oracle checks / INSIGHT_RECOVER_PARAMETRIC_
+            # DIST (harness/insights.py); one batched host transfer
+            ds.sim_params = jax.device_get(params)
+            return ds
 
         self.train_f = subset(num_patients['train'], 'factual', 'train')
         self.val_f = subset(num_patients['val'], 'factual', 'val')
@@ -256,8 +260,10 @@ class CancerDatasetCollection(DatasetCollection):
                 data = cancer.simulate_counterfactuals_treatment_seq(
                     params, max_seq_length, projection_horizon, sub,
                     cf_seq_mode=cf_seq_mode)
-            return SeqDataset(data, name,
-                              norm_const=cancer.TUMOUR_DEATH_THRESHOLD)
+            ds = SeqDataset(data, name,
+                            norm_const=cancer.TUMOUR_DEATH_THRESHOLD)
+            ds.sim_params = jax.device_get(params)
+            return ds
 
         self.train_f = subset(num_patients['train'], 'factual', 'train')
         self.val_f = subset(num_patients['val'], 'factual', 'val')
@@ -312,8 +318,10 @@ class ContinuousDatasetCollection(CancerDatasetCollection):
                 data = continuous.simulate_counterfactuals_treatment_seq(
                     params, max_seq_length, self.projection_horizon, sub,
                     equation, cf_seq_mode=cf_seq_mode)
-            return SeqDataset(data, name,
-                              norm_const=cancer.TUMOUR_DEATH_THRESHOLD)
+            ds = SeqDataset(data, name,
+                            norm_const=cancer.TUMOUR_DEATH_THRESHOLD)
+            ds.sim_params = jax.device_get(params)
+            return ds
 
         self.train_f = subset(num_patients['train'], 'factual', 'train')
         self.val_f = subset(num_patients['val'], 'factual', 'val')

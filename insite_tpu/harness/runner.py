@@ -203,6 +203,16 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
         c = model.get_fine_tuned_coefficients(coll.val_f)
         results['coef_mean'] = np.mean(c, axis=0).round(6).tolist()
         results['coef_std'] = np.std(c, axis=0).round(6).tolist()
+        if getattr(coll.val_f, 'sim_params', None) is not None and \
+                'hidden_C_0' in coll.val_f.sim_params:
+            # recovered vs true per-arm decay constants (EQ_4 family;
+            # harness/insights.py — collections cached before sim_params
+            # existed skip this block)
+            from insite_tpu.harness.insights import recover_parametric_dist
+            rec = recover_parametric_dist(model, coll.val_f)
+            for arm, stats in rec.items():
+                for k, v in stats.items():
+                    results[f'recover_{arm}_{k}'] = v
     results.update({'method': method_name, 'seed': seed,
                     'seconds_taken': time.perf_counter() - t0})
     if cfg.metrics_jsonl:

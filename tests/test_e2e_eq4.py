@@ -140,3 +140,22 @@ def test_active_set_gn_matches_full_gn(collection):
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(red[1]), np.asarray(full[1]),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_recover_parametric_dist(collection):
+    """INSIGHT_RECOVER_PARAMETRIC_DIST (harness/insights.py): the
+    per-patient fine-tuned decay constants -(dx_dot/dx0) must recover the
+    simulator's hidden C distribution (reference run.py:35-42 defines the
+    experiment; pkpd_simulation.py:96-203 the hidden params)."""
+    from insite_tpu.harness.insights import recover_parametric_dist
+    cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                      sindy_alpha=0.5, lam=10.0, insite=True)
+    m = SINDyRegressor(cfg, collection).fit(collection.train_f)
+    rec = recover_parametric_dist(m, collection.val_f)
+    assert set(rec) == {'arm0', 'arm1'}
+    for arm, s in rec.items():
+        assert s['n'] > 1
+        # full-size cohorts give r = 1.000; the 20-patient val subset
+        # leaves a little room
+        assert s['pearson_r'] > 0.9, (arm, s)
+        assert abs(s['recovered_mean'] - s['true_mean']) < 0.05, (arm, s)
