@@ -60,7 +60,7 @@ def recovered_arm_rates(coefs: np.ndarray, feature_names,
     return rates
 
 
-def recover_parametric_dist(model, dataset) -> dict:
+def recover_parametric_dist(model, dataset, raw: bool = False) -> dict:
     """Correlate recovered vs true per-arm decay constants on `dataset`.
 
     `model` is a fitted INSITE `SINDyRegressor`; `dataset` a factual
@@ -71,7 +71,9 @@ def recover_parametric_dist(model, dataset) -> dict:
     coefficients).
 
     Returns {'arm<a>': {'n', 'true_mean', 'true_std', 'recovered_mean',
-    'recovered_std', 'pearson_r'}}.
+    'recovered_std', 'pearson_r'}}; with `raw=True` each arm also carries
+    the per-patient 'true'/'recovered' lists (the
+    `harness/plots.py::plot_recovered_dist` input).
     """
     params = getattr(dataset, 'sim_params', None)
     if params is None or 'hidden_C_0' not in params:
@@ -104,4 +106,7 @@ def recover_parametric_dist(model, dataset) -> dict:
             'recovered_std': float(r.std()),
             'pearson_r': corr,
         }
+        if raw:
+            out[f'arm{a}']['true'] = t.tolist()
+            out[f'arm{a}']['recovered'] = r.tolist()
     return out

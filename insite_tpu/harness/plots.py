@@ -88,3 +88,45 @@ def plot_confounding_sweep(df_results, out_path: str,
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
     return out_path
+
+
+def plot_recovered_dist(rec_data: dict, out_path: str):
+    """INSIGHT_RECOVER_PARAMETRIC_DIST figure: recovered vs true hidden
+    decay constants (`harness/insights.py`). Left: per-patient scatter
+    against the identity line with pearson r direct-labeled; right: the
+    two distributions overlaid (true filled, recovered outlined).
+
+    `rec_data` maps arm name -> {'true': [...], 'recovered': [...]}.
+    """
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    fig, (ax_sc, ax_hi) = plt.subplots(1, 2, figsize=(8.4, 3.4))
+    lo = min(float(np.min(d['true'])) for d in rec_data.values())
+    hi = max(float(np.max(d['true'])) for d in rec_data.values())
+    pad = 0.08 * (hi - lo + 1e-12)
+    lo, hi = lo - pad, hi + pad
+    ax_sc.plot([lo, hi], [lo, hi], color='0.6', lw=1, zorder=1)
+    bins = np.linspace(lo, hi, 24)
+    for i, (arm, d) in enumerate(sorted(rec_data.items())):
+        t = np.asarray(d['true'], float)
+        r = np.asarray(d['recovered'], float)
+        color = f'C{i}'
+        corr = np.corrcoef(t, r)[0, 1] if t.size > 1 else np.nan
+        ax_sc.scatter(t, r, s=14, alpha=0.7, color=color, zorder=2,
+                      label=f'{arm} (r={corr:.3f})')
+        ax_hi.hist(t, bins=bins, alpha=0.35, color=color,
+                   label=f'{arm} true')
+        ax_hi.hist(r, bins=bins, histtype='step', lw=1.8, color=color,
+                   label=f'{arm} recovered')
+    ax_sc.set_xlabel('true hidden decay constant C')
+    ax_sc.set_ylabel('recovered C (INSITE fine-tune)')
+    ax_sc.legend(fontsize=8)
+    ax_hi.set_xlabel('decay constant C')
+    ax_hi.set_ylabel('patients')
+    ax_hi.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path

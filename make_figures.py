@@ -3,6 +3,7 @@
 Usage:
     python make_figures.py --nstep logs/run-*.txt --out figures/
     python make_figures.py --confounding logs/conf10.json --out figures/
+    python make_figures.py --recover logs/recover_dist.json --out figures/
 
 The reference buries its figure code in utils/results_utils.py:393+ and
 never ships the rendered artifacts; here the figures are first-class
@@ -52,6 +53,19 @@ def confounding_figure(json_path, out_dir, metric='encoder_test_rmse_orig'):
     return out
 
 
+def recover_figure(json_path, out_dir):
+    """Plot a recovered-vs-true decay-constant JSON
+    ({arm: {true: [...], recovered: [...]}}, produced by
+    `harness.insights.recover_parametric_dist(..., raw=True)`)."""
+    from insite_tpu.harness.plots import plot_recovered_dist
+    with open(json_path) as f:
+        rec = json.load(f)
+    rec = {arm: d for arm, d in rec.items() if 'true' in d}
+    out = os.path.join(out_dir, 'recovered_dist.png')
+    plot_recovered_dist(rec, out)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--nstep', nargs='*', default=[],
@@ -60,6 +74,8 @@ def main():
                     help='restrict n-step panels to these datasets')
     ap.add_argument('--confounding', default=None,
                     help='vectorized confounding-grid JSON')
+    ap.add_argument('--recover', default=None,
+                    help='recovered-parametric-dist JSON (insights.py)')
     ap.add_argument('--out', default='figures')
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -68,6 +84,8 @@ def main():
         made.append(nstep_figure(args.nstep, args.out, args.datasets))
     if args.confounding:
         made.append(confounding_figure(args.confounding, args.out))
+    if args.recover:
+        made.append(recover_figure(args.recover, args.out))
     for p in made:
         print('wrote', p)
     if not made:

@@ -56,6 +56,19 @@ def test_plots_render(tmp_path):
     assert os.path.getsize(p2) > 1000
 
 
+def test_recovered_dist_plot_renders(tmp_path):
+    from insite_tpu.harness.plots import plot_recovered_dist
+    rng = np.random.default_rng(0)
+    rec = {}
+    for a in range(2):
+        true = rng.normal(0.4 + 0.5 * a, 0.05, 50)
+        rec[f'arm{a}'] = {'true': true.tolist(),
+                          'recovered': (true + rng.normal(0, 0.005, 50))
+                          .tolist()}
+    p = plot_recovered_dist(rec, str(tmp_path / 'rec.png'))
+    assert os.path.getsize(p) > 1000
+
+
 def test_real_dataset_collection():
     """Factual-only collection drives CT end-to-end without counterfactual
     ground truth (dataset_collection.py:113-205)."""
