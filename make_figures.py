@@ -32,25 +32,37 @@ def nstep_figure(log_paths, out_dir, datasets=None):
     return out
 
 
-def confounding_figure(json_path, out_dir, metric='encoder_test_rmse_orig'):
+def confounding_figure(json_path, out_dir, metrics=('encoder_test_rmse_orig',)):
     """Build the gamma-sweep frame from a vectorized-confounding JSON
-    ({method: {gammas, <metric>: [n_gamma][n_seed]}}) and plot it."""
+    ({method: {gammas, <metric>: [n_gamma][n_seed]}}) and plot one panel
+    per requested metric (the reference's overlap graph emits one figure
+    per horizon, results_utils.py:680-727). `metrics=['all']` expands to
+    every metric column in the JSON."""
     from insite_tpu.harness.plots import plot_confounding_sweep
     with open(json_path) as f:
         grid = json.load(f)
     rows = []
+    all_metrics = []
     for method, d in grid.items():
+        cols = {k: v for k, v in d.items() if k != 'gammas'}
+        all_metrics = [k for k in cols if k not in all_metrics] + \
+            [k for k in all_metrics]
         for gi, gamma in enumerate(d['gammas']):
-            metrics = {k: v for k, v in d.items() if k != 'gammas'}
-            n_seeds = len(next(iter(metrics.values()))[gi])
+            n_seeds = len(next(iter(cols.values()))[gi])
             for s in range(n_seeds):
                 rows.append({'method_name': method, 'domain_conf': gamma,
                              'seed': s,
-                             **{k: v[gi][s] for k, v in metrics.items()}})
+                             **{k: v[gi][s] for k, v in cols.items()}})
     df = pd.DataFrame(rows)
-    out = os.path.join(out_dir, 'confounding_sweep.png')
-    plot_confounding_sweep(df, out, metric=metric)
-    return out
+    if list(metrics) == ['all']:
+        metrics = all_metrics
+    outs = []
+    for metric in metrics:
+        suffix = '' if metric == 'encoder_test_rmse_orig' else f'_{metric}'
+        out = os.path.join(out_dir, f'confounding_sweep{suffix}.png')
+        plot_confounding_sweep(df, out, metric=metric)
+        outs.append(out)
+    return outs
 
 
 def recover_figure(json_path, out_dir):
@@ -74,6 +86,10 @@ def main():
                     help='restrict n-step panels to these datasets')
     ap.add_argument('--confounding', default=None,
                     help='vectorized confounding-grid JSON')
+    ap.add_argument('--metrics', nargs='*',
+                    default=['encoder_test_rmse_orig'],
+                    help="confounding-figure metrics ('all' = every "
+                         'metric column in the JSON, one panel each)')
     ap.add_argument('--recover', default=None,
                     help='recovered-parametric-dist JSON (insights.py)')
     ap.add_argument('--out', default='figures')
@@ -83,7 +99,8 @@ def main():
     if args.nstep:
         made.append(nstep_figure(args.nstep, args.out, args.datasets))
     if args.confounding:
-        made.append(confounding_figure(args.confounding, args.out))
+        made.extend(confounding_figure(args.confounding, args.out,
+                                       metrics=args.metrics))
     if args.recover:
         made.append(recover_figure(args.recover, args.out))
     for p in made:
