@@ -56,6 +56,26 @@ def test_plots_render(tmp_path):
     assert os.path.getsize(p2) > 1000
 
 
+def test_confounding_figure_cli_multi_metric(tmp_path):
+    """make_figures.confounding_figure emits one panel per metric
+    (the reference's per-horizon overlap graphs, results_utils.py:680-727)."""
+    from make_figures import confounding_figure
+    rng = np.random.default_rng(0)
+    grid = {m: {'gammas': [0.0, 2.0],
+                'encoder_test_rmse_orig': rng.random((2, 3)).tolist(),
+                'decoder_test_rmse_6-step': rng.random((2, 3)).tolist()}
+            for m in ('insite', 'sindy')}
+    path = tmp_path / 'conf.json'
+    path.write_text(json.dumps(grid))
+    outs = confounding_figure(str(path), str(tmp_path), metrics=['all'])
+    assert len(outs) == 2
+    names = {os.path.basename(o) for o in outs}
+    assert names == {'confounding_sweep.png',
+                     'confounding_sweep_decoder_test_rmse_6-step.png'}
+    for o in outs:
+        assert os.path.getsize(o) > 1000
+
+
 def test_recovered_dist_plot_renders(tmp_path):
     from insite_tpu.harness.plots import plot_recovered_dist
     rng = np.random.default_rng(0)
