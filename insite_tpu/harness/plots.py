@@ -90,6 +90,37 @@ def plot_confounding_sweep(df_results, out_path: str,
     return out_path
 
 
+def plot_sample_efficiency(df_results, out_path: str,
+                           metric='encoder_test_rmse_orig', use_95_ci=True):
+    """RMSE vs training-cohort size (the INSIGHT_LESS_SAMPLES figure;
+    rows carry a `train_samples` column, runner.py LESS_SAMPLES runs)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    df = df_results[~df_results.get('errored', False).astype(bool)] \
+        if 'errored' in df_results.columns else df_results
+    means, errs, _ = _agg(df, ['method_name', 'train_samples'], use_95_ci)
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    for method in df.method_name.unique():
+        sub_m = means.loc[method][metric]
+        sub_e = errs.loc[method][metric]
+        ns = sub_m.index.to_numpy(float)
+        label = METHOD_NAME_MAP.get(method, method).replace(r'\bf ', '')
+        m = sub_m.to_numpy(float)
+        e = np.nan_to_num(sub_e.to_numpy(float))
+        ax.plot(ns, m, '--o', label=label)
+        ax.fill_between(ns, m - e, m + e, alpha=0.25)
+    ax.set_xlabel('training patients')
+    ax.set_ylabel(f'{metric} (%)')
+    ax.set_xscale('log')
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def plot_recovered_dist(rec_data: dict, out_path: str):
     """INSIGHT_RECOVER_PARAMETRIC_DIST figure: recovered vs true hidden
     decay constants (`harness/insights.py`). Left: per-patient scatter

@@ -65,6 +65,20 @@ def confounding_figure(json_path, out_dir, metrics=('encoder_test_rmse_orig',)):
     return outs
 
 
+def less_samples_figure(log_paths, out_dir):
+    """Sample-efficiency figure from INSIGHT_LESS_SAMPLES sweep logs
+    (rows carry `train_samples`)."""
+    from insite_tpu.harness.plots import plot_sample_efficiency
+    from insite_tpu.harness.results import df_from_log
+    df = pd.concat([df_from_log(p) for p in log_paths], ignore_index=True)
+    if 'errored' in df.columns:
+        df = df[~df.errored.astype(bool)]
+    df = df[df.train_samples.notna()]
+    out = os.path.join(out_dir, 'sample_efficiency.png')
+    plot_sample_efficiency(df, out)
+    return out
+
+
 def recover_figure(json_path, out_dir):
     """Plot a recovered-vs-true decay-constant JSON
     ({arm: {true: [...], recovered: [...]}}, produced by
@@ -92,6 +106,9 @@ def main():
                          'metric column in the JSON, one panel each)')
     ap.add_argument('--recover', default=None,
                     help='recovered-parametric-dist JSON (insights.py)')
+    ap.add_argument('--less-samples', nargs='*', default=[],
+                    help='INSIGHT_LESS_SAMPLES sweep logs for the '
+                         'sample-efficiency figure')
     ap.add_argument('--out', default='figures')
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -103,6 +120,8 @@ def main():
                                        metrics=args.metrics))
     if args.recover:
         made.append(recover_figure(args.recover, args.out))
+    if args.less_samples:
+        made.append(less_samples_figure(args.less_samples, args.out))
     for p in made:
         print('wrote', p)
     if not made:

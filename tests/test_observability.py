@@ -56,6 +56,17 @@ def test_plots_render(tmp_path):
     assert os.path.getsize(p2) > 1000
 
 
+def test_sample_efficiency_plot_renders(tmp_path):
+    from insite_tpu.harness.plots import plot_sample_efficiency
+    rows = [{'method_name': m, 'seed': s, 'train_samples': n,
+             'errored': False, 'encoder_test_rmse_orig': np.random.rand()}
+            for m in ('insite', 'sindy') for s in range(2)
+            for n in (50, 250, 1000)]
+    p = plot_sample_efficiency(pd.DataFrame(rows),
+                               str(tmp_path / 'less.png'))
+    assert os.path.getsize(p) > 1000
+
+
 def test_confounding_figure_cli_multi_metric(tmp_path):
     """make_figures.confounding_figure emits one panel per metric
     (the reference's per-horizon overlap graphs, results_utils.py:680-727)."""
