@@ -25,7 +25,6 @@ import dataclasses
 import json
 import os
 
-import jax
 import numpy as np
 from flax import serialization
 

@@ -10,7 +10,6 @@ partitioned optax updates.  A 100-epoch fit is a single XLA dispatch.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Optional
 
 import jax

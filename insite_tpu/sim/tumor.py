@@ -38,7 +38,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from insite_tpu.core.dtypes import default_float
 
 TUMOUR_CELL_DENSITY = 5.8e8
 CHEMO_AMT = 5.0
