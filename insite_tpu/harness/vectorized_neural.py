@@ -45,14 +45,28 @@ def _stack_padded(dicts, keys):
     return out, n_rows
 
 
-def _predict_chunked(predict, params, data, chunk):
+def _seed_sharding(mesh):
+    """NamedSharding that splits the leading (seed) axis over a 1-D mesh,
+    replicating every other axis."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    return NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+
+
+def _shard_seed_axis(tree, mesh):
+    sharding = _seed_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), tree)
+
+
+def _predict_chunked(predict, params, data, chunk, mesh=None):
     """Run a seed-vmapped predict over row chunks of [S, N, ...] arrays.
 
     The CT attention maps materialize as [S, heads, T, T, N]-shaped
     fusions; at counterfactual-test scale (N ~ 6e4 rows x 10 seeds) one
     whole-set dispatch exceeds HBM. Chunks are padded to `chunk` rows so
     exactly one program is compiled; outputs are fetched with a single
-    batched device_get.
+    batched device_get. With a `mesh`, chunks are placed sharded over the
+    seed axis so each chip evaluates only its own seeds.
     """
     n = next(iter(data.values())).shape[1]
     chunk = min(chunk, n)
@@ -66,7 +80,8 @@ def _predict_chunked(predict, params, data, chunk):
                 pad = np.zeros((p.shape[0], chunk - (end - start))
                                + p.shape[2:], p.dtype)
                 p = np.concatenate([p, pad], axis=1)
-            piece[k] = jnp.asarray(p)
+            piece[k] = jnp.asarray(p) if mesh is None else \
+                jax.device_put(p, _seed_sharding(mesh))
         outs.append(predict(params, piece)[:, :end - start])
     return np.concatenate(jax.device_get(outs), axis=1)
 
@@ -74,12 +89,18 @@ def _predict_chunked(predict, params, data, chunk):
 def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
                         num_patients: dict = None, coeff: float = 2.0,
                         epochs: int = 100, seed_start: int = 0,
-                        eval_chunk: int = 4096) -> dict:
+                        eval_chunk: int = 4096, mesh=None) -> dict:
     """Train + evaluate CT for `n_seeds` seeds in one vmapped program.
 
     Returns {'encoder_test_rmse_orig'/'all'/'last': [S],
              'decoder_test_rmse_<k>-step': [S]} — the same metric keys as
     run_experiment, one value per seed.
+
+    With a `mesh` (1-D device mesh, `parallel.batch_mesh()`), the seed
+    axis of the stacked cohorts, params, and RNGs is sharded over the
+    chips: seeds' training programs are independent, so the column
+    scales linearly over ICI with no collectives on the training path.
+    n_seeds must be a multiple of the mesh size.
     """
     from insite_tpu.models.ct import CTConfig, CTNetwork, ct_train_config
     from insite_tpu.models.nn.training import (make_br_train_fn,
@@ -105,13 +126,20 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
                    treatment_mode='multilabel')
     net = CTNetwork(cfg)
 
+    if mesh is not None:
+        assert n_seeds % mesh.devices.size == 0, \
+            'n_seeds must be a multiple of the mesh size'
+
     train, _ = _stack_padded([c.train_f.data for c in colls], _BATCH_KEYS)
-    train = {k: jnp.asarray(v) for k, v in train.items()}
+    train = {k: jnp.asarray(v) for k, v in train.items()} if mesh is None \
+        else _shard_seed_axis(train, mesh)
 
     # --- per-seed init + one vmapped training dispatch --------------------
     sample = jax.tree_util.tree_map(lambda a: a[0, :2], train)
     rngs = jnp.stack([jax.random.PRNGKey(s)
                       for s in range(seed_start, seed_start + n_seeds)])
+    if mesh is not None:
+        rngs = _shard_seed_axis(rngs, mesh)
 
     def init_one(rng):
         r_init, r_drop = jax.random.split(rng)
@@ -142,7 +170,8 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
     # --- 1-step eval (exact per-seed metric on unpadded rows) -------------
     one_step, n_rows = _stack_padded(
         [c.test_cf_one_step.data for c in colls], _BATCH_KEYS)
-    preds = _predict_chunked(predict, pred_params, one_step, eval_chunk)
+    preds = _predict_chunked(predict, pred_params, one_step, eval_chunk,
+                             mesh=mesh)
     res = {'encoder_test_rmse_orig': [], 'encoder_test_rmse_all': [],
            'encoder_test_rmse_last': []}
     for s, c in enumerate(colls):
@@ -169,7 +198,8 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
     n_idx = np.arange(N)[None, :]
     predicted = np.zeros((S, N, ph, cfg.dim_outcome), np.float32)
     for t in range(ph + 1):
-        out = _predict_chunked(predict, pred_params, seq, eval_chunk)
+        out = _predict_chunked(predict, pred_params, seq, eval_chunk,
+                                mesh=mesh)
         if t < ph:
             seq['prev_outputs'][s_idx, n_idx, split + t, :] = \
                 out[s_idx, n_idx, split - 1 + t, :]

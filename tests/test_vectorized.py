@@ -136,6 +136,24 @@ def test_tumor_sweep_eq5_includes_dosage_covariate():
     assert np.all(r['global_coefs'][..., dose_cols] == 0.0)
 
 
+def test_vectorized_ct_sweep_mesh_matches_unsharded():
+    """Seed-sharding the CT column over a 2-device mesh reproduces the
+    single-device column: training programs are seed-independent, so the
+    mesh only changes placement, not math."""
+    import jax
+    import numpy as np
+    from insite_tpu.harness.vectorized_neural import vectorized_ct_sweep
+    from insite_tpu.parallel import batch_mesh
+    kw = dict(num_patients={'train': 40, 'val': 8, 'test': 6},
+              epochs=2, eval_chunk=16)
+    base = vectorized_ct_sweep('EQ_4_D', n_seeds=2, **kw)
+    mesh = batch_mesh(jax.devices()[:2])
+    sharded = vectorized_ct_sweep('EQ_4_D', n_seeds=2, mesh=mesh, **kw)
+    assert set(base) == set(sharded)
+    for k in base:
+        np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4, atol=1e-6)
+
+
 def test_vectorized_ct_sweep_smoke():
     """Whole CT seed column as one vmapped training dispatch: metric keys,
     per-seed values finite, magnitudes at the untrained-network level for
