@@ -46,7 +46,10 @@ class RunConfig:
     cf_seq_mode: str = 'sliding_treatment'
     load_from_cache: bool = False
     force_recache: bool = False
-    tune_hparams: bool = False   # insite: vmapped lam-grid search on val
+    tune_hparams: bool = False   # insite: vmapped lam-grid search on val;
+    # neural: seeded grid_search over tuning.NEURAL_HPARAM_GRIDS
+    tune_trials: int = 10        # neural trials subsampled from the grid
+    # (the reference's OptunaSearch num_samples analog)
     # tuned model-hparam overlays (the reference's
     # `+backbone/<m>_hparams/<ds>_domain_conf/<coeff>.yaml` mechanics,
     # run.py:197-263 / config/backbone/): maps an overlay key to a dict of

@@ -172,11 +172,33 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
     np.random.seed(seed)
     coll = _collection_for(dataset_name, method_name, seed, domain_conf,
                            cfg, experiment)
-    model = _build_model(method_name, dataset_name, coll, cfg, experiment,
-                         seed, domain_conf=domain_conf)
-    model.fit(coll.train_f, coll.val_f)
-
     results = {}
+    from insite_tpu.harness.tuning import NEURAL_HPARAM_GRIDS
+    if cfg.tune_hparams and method_name in NEURAL_HPARAM_GRIDS:
+        # the reference's Ray/Optuna `finetune` for the neural methods
+        # (time_varying_model.py:319-395): seeded subsampled grid search,
+        # selecting on validation factual RMSE, winner used for eval
+        import dataclasses
+        from insite_tpu.harness.tuning import grid_search
+
+        def build_and_fit(params_):
+            mo = dict(cfg.model_overrides or {})
+            mo[method_name] = {**mo.get(method_name, {}), **params_}
+            cfg_t = dataclasses.replace(cfg, model_overrides=mo)
+            m = _build_model(method_name, dataset_name, coll, cfg_t,
+                             experiment, seed, domain_conf=domain_conf)
+            m.fit(coll.train_f, coll.val_f)
+            return m
+
+        best_params, model, _ = grid_search(
+            build_and_fit, NEURAL_HPARAM_GRIDS[method_name], coll.val_f,
+            n_trials=cfg.tune_trials, seed=seed)
+        results['tuned_hparams'] = best_params
+    else:
+        model = _build_model(method_name, dataset_name, coll, cfg,
+                             experiment, seed, domain_conf=domain_conf)
+        model.fit(coll.train_f, coll.val_f)
+
     if cfg.tune_hparams and method_name == 'insite':
         # Ray-Tune equivalent (time_varying_model.py:319-395): one vmapped
         # dispatch scores the whole lam grid on the validation cohort.

@@ -32,6 +32,53 @@ logger = logging.getLogger('insite_tpu')
 # insite_hparams_grid.yaml:8-16
 INSITE_LAM_GRID = (0.0, 10.0, 100.0, 200.0, 500.0, 1000.0, 2000.0)
 
+# Neural search spaces distilled from the reference's Ray grids
+# (config/backbone/<m>_hparams/cancer_sim_hparams_grid.yaml): learning
+# rate / batch size / hidden widths / dropout. The reference expresses
+# widths as input-size multipliers {0.5..4}; here they are absolute units
+# spanning the same range around each model's benchmark defaults. Keys are
+# this package's model-config fields (models/<m>.py), so the same dicts
+# drive `model_overrides` and `grid_search`.
+NEURAL_HPARAM_GRIDS = {
+    'ct': {'learning_rate': [0.01, 0.001, 0.0001],
+           'batch_size': [64, 128, 256],
+           'seq_hidden_units': [8, 16, 32, 64],
+           'br_size': [8, 16, 32, 64],
+           'fc_hidden_units': [16, 32, 64, 128],
+           'dropout_rate': [0.1, 0.2, 0.3, 0.4, 0.5]},
+    'crn': {'enc_learning_rate': [0.01, 0.001, 0.0001],
+            'enc_batch_size': [64, 128, 256],
+            'enc_seq_hidden_units': [12, 24, 48, 96],
+            'enc_br_size': [3, 6, 12, 24],
+            'enc_fc_hidden_units': [9, 18, 36, 72],
+            'enc_dropout_rate': [0.1, 0.2, 0.3, 0.4, 0.5],
+            'dec_learning_rate': [0.01, 0.001, 0.0001],
+            'dec_batch_size': [256, 512, 1024],
+            'dec_dropout_rate': [0.1, 0.2, 0.3, 0.4, 0.5]},
+    'edct': {'enc_learning_rate': [0.01, 0.001, 0.0001],
+             'enc_batch_size': [64, 128, 256],
+             'enc_seq_hidden_units': [8, 16, 32, 64],
+             'enc_br_size': [8, 16, 32, 64],
+             'enc_fc_hidden_units': [16, 32, 64, 128],
+             'enc_dropout_rate': [0.1, 0.2, 0.3, 0.4, 0.5],
+             'dec_learning_rate': [0.01, 0.001, 0.0001],
+             'dec_batch_size': [256, 512, 1024],
+             'dec_dropout_rate': [0.1, 0.2, 0.3, 0.4, 0.5]},
+    'rmsn': {'enc_lr': [0.01, 0.001, 0.0001],
+             'enc_bs': [64, 128, 256],
+             'enc_hidden': [6, 12, 24, 48],
+             'enc_dropout': [0.1, 0.2, 0.3, 0.4, 0.5],
+             'dec_lr': [0.01, 0.001, 0.0001],
+             'dec_hidden': [16, 32, 64, 128],
+             'dec_dropout': [0.1, 0.2, 0.3, 0.4, 0.5]},
+    'gnet': {'learning_rate': [0.01, 0.001, 0.0001],
+             'batch_size': [64, 128, 256],
+             'seq_hidden_units': [12, 24, 48, 96],
+             'r_size': [3, 6, 12, 24],
+             'fc_hidden_units': [24, 48, 96, 192],
+             'dropout_rate': [0.1, 0.2, 0.3, 0.4, 0.5]},
+}
+
 
 def tune_insite_lam(model, val_f, lam_grid=INSITE_LAM_GRID,
                     projection_horizon=1):

@@ -40,7 +40,10 @@ def main():
     p.add_argument('--cache', action='store_true',
                    help='cache dataset collections on disk')
     p.add_argument('--tune', action='store_true',
-                   help='hparam tuning (insite: vmapped lam-grid on val)')
+                   help='hparam tuning on val (insite: vmapped lam-grid; '
+                        'neural: seeded grid search, --tune-trials each)')
+    p.add_argument('--tune-trials', type=int, default=None,
+                   help='neural tuning trials subsampled from the grid')
     p.add_argument('--isolate', action='store_true',
                    help='run each experiment in a fresh interpreter so a '
                         'device-level failure (e.g. HBM OOM) cannot wedge '
@@ -74,6 +77,8 @@ def main():
         cfg.load_from_cache = True
     if args.tune:
         cfg.tune_hparams = True
+    if args.tune_trials is not None:
+        cfg.tune_trials = args.tune_trials
     if args.isolate:
         cfg.isolate_runs = True
         # isolation is pointless if the first child failure re-raises:

@@ -181,6 +181,22 @@ def test_cf_seq_modes_end_to_end(mode):
     assert np.isfinite(r2['decoder_test_rmse_6-step'])
 
 
+def test_tune_neural_grid_end_to_end(monkeypatch):
+    """--tune for a neural method: seeded subsampled grid search on val
+    (the reference's Ray/Optuna finetune, time_varying_model.py:319-395),
+    winner's hparams recorded and used for eval."""
+    from insite_tpu.harness import tuning
+    monkeypatch.setitem(
+        tuning.NEURAL_HPARAM_GRIDS, 'ct',
+        {'learning_rate': [0.01, 0.001], 'dropout_rate': [0.1]})
+    cfg = RunConfig(train_samples=24, val_samples=8, test_samples=6,
+                    epochs=1, tune_hparams=True, tune_trials=2)
+    r = run_experiment('EQ_4_D', 'ct', seed=0, domain_conf=2.0, cfg=cfg)
+    assert r['tuned_hparams']['learning_rate'] in (0.01, 0.001)
+    assert r['tuned_hparams']['dropout_rate'] == 0.1
+    assert np.isfinite(r['encoder_test_rmse_orig'])
+
+
 def test_model_overrides_precedence():
     """Tuned-hparam overlays: method < method@dataset < method@dataset/coeff
     (the reference's +backbone/<m>_hparams/<ds>_domain_conf/<coeff>.yaml
