@@ -369,3 +369,102 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
     from insite_tpu.harness.results import generate_main_results_table
     tables = generate_main_results_table(df)
     return df, tables
+
+
+def _results_df_and_tables(results):
+    import pandas as pd
+    df = pd.DataFrame(results)
+    if df.empty:
+        return df, {}
+    from insite_tpu.harness.results import generate_main_results_table
+    return df, generate_main_results_table(df)
+
+
+# (dataset, method) columns the vectorized on-device paths cover
+VECTORIZED_METHODS = ('insite', 'sindy', 'ct')
+
+
+def vectorized_sweep(cfg: RunConfig, log=logger):
+    """`run.py --vectorized`: each (dataset, method) benchmark column runs
+    as ONE on-device multi-seed dispatch (harness/vectorized[_neural] —
+    the TPU-native replacement for the reference's multiprocessing pool,
+    run.py:91-131) and is logged as standard per-seed result rows, so
+    `process_result_file.py` and `df_from_log` work unchanged.
+
+    ODE columns use jax-native cohort sampling (distribution-level parity,
+    seeds 0..S-1); the CT column keeps standard-path cohorts and honors
+    `seed_start`.
+    """
+    results = []
+    for dataset_name in cfg.datasets:
+        for method_name in cfg.methods:
+            if method_name not in VECTORIZED_METHODS:
+                log.warning(f'[vectorized] no vectorized path for '
+                            f'{method_name}; skipping (use the standard '
+                            'sweep)')
+                continue
+            S = cfg.seed_runs
+            log.info(f'[Now evaluating exp] (vectorized, {dataset_name}, '
+                     f'{method_name}, {S} seeds)')
+            t0 = time.perf_counter()
+            try:
+                if method_name == 'ct':
+                    from insite_tpu.harness.vectorized_neural import \
+                        vectorized_ct_sweep
+                    r = vectorized_ct_sweep(
+                        dataset_name, n_seeds=S,
+                        num_patients={'train': cfg.train_samples,
+                                      'val': cfg.val_samples,
+                                      'test': cfg.test_samples},
+                        coeff=cfg.domain_conf, epochs=cfg.epochs,
+                        seed_start=cfg.seed_start)
+                    seeds = range(cfg.seed_start, cfg.seed_start + S)
+                else:
+                    thr, lam = sindy_params_for(dataset_name)
+                    if cfg.seed_start:
+                        log.warning('[vectorized] ODE columns always run '
+                                    'seeds 0..S-1 (PRNGKey-indexed); '
+                                    'ignoring seed_start')
+                    if 'EQ_4' in dataset_name:
+                        from insite_tpu.harness.vectorized import \
+                            vectorized_eq4_sweep
+                        r = vectorized_eq4_sweep(
+                            dataset_name, n_seeds=S,
+                            n_train=cfg.train_samples,
+                            n_test=cfg.test_samples,
+                            conf_coeff=cfg.domain_conf, threshold=thr,
+                            alpha=SINDY_ALPHA, lam=lam, method=method_name)
+                    else:
+                        from insite_tpu.harness.vectorized import \
+                            vectorized_tumor_sweep
+                        r = vectorized_tumor_sweep(
+                            dataset_name, n_seeds=S,
+                            n_train=cfg.train_samples,
+                            n_test=cfg.test_samples, coeff=cfg.domain_conf,
+                            threshold=thr, alpha=SINDY_ALPHA, lam=lam,
+                            method=method_name)
+                    seeds = range(S)
+                secs = time.perf_counter() - t0
+                for i, seed in enumerate(seeds):
+                    row = {k: float(v[i]) for k, v in r.items()
+                           if isinstance(v, np.ndarray) and v.ndim == 1
+                           and len(v) == S}
+                    row.update({'method': method_name, 'seed': seed,
+                                'seconds_taken': secs / S,
+                                'vectorized': True, 'errored': False,
+                                'dataset_name': dataset_name,
+                                'method_name': method_name,
+                                'domain_conf': cfg.domain_conf})
+                    log.info(f'[Exp evaluation complete] {row}')
+                    results.append(row)
+            except Exception as e:      # fault wall (run.py:159-169)
+                if cfg.debug_mode:
+                    raise
+                log.exception(f'[Error] {e}')
+                traceback.print_exc()
+                results.append({'errored': True,
+                                'dataset_name': dataset_name,
+                                'method_name': method_name, 'seed': -1,
+                                'domain_conf': cfg.domain_conf})
+
+    return _results_df_and_tables(results)

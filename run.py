@@ -44,6 +44,10 @@ def main():
                         'neural: seeded grid search, --tune-trials each)')
     p.add_argument('--tune-trials', type=int, default=None,
                    help='neural tuning trials subsampled from the grid')
+    p.add_argument('--vectorized', action='store_true',
+                   help='run each (dataset, method) column as ONE '
+                        'on-device multi-seed dispatch (insite/sindy/ct; '
+                        'ODE columns use jax-native cohorts)')
     p.add_argument('--isolate', action='store_true',
                    help='run each experiment in a fresh interpreter so a '
                         'device-level failure (e.g. HBM OOM) cannot wedge '
@@ -90,7 +94,11 @@ def main():
     log_path = generate_log_file_path('run', cfg.log_dir)
     logger = create_logger_in_process(log_path)
     logger.info(f'Starting sweep | log at {log_path}')
-    df, tables = sweep(cfg, Experiment[cfg.experiment], log=logger)
+    if args.vectorized:
+        from insite_tpu.harness.runner import vectorized_sweep
+        df, tables = vectorized_sweep(cfg, log=logger)
+    else:
+        df, tables = sweep(cfg, Experiment[cfg.experiment], log=logger)
     for metric, table in tables.items():
         logger.info(f'Latex Table:: {metric}\n{table}')
     logger.info(f'[Log found at] {log_path}')

@@ -181,6 +181,28 @@ def test_cf_seq_modes_end_to_end(mode):
     assert np.isfinite(r2['decoder_test_rmse_6-step'])
 
 
+def test_vectorized_sweep_logs_standard_rows(tmp_path):
+    """--vectorized: one on-device dispatch per (dataset, method) column,
+    logged as standard per-seed rows the results toolkit can parse."""
+    from insite_tpu.harness.logging_utils import create_logger_in_process
+    from insite_tpu.harness.results import df_from_log
+    from insite_tpu.harness.runner import vectorized_sweep
+    cfg = RunConfig(train_samples=40, val_samples=8, test_samples=6,
+                    seed_runs=2, methods=('sindy', 'msm'),
+                    datasets=('EQ_4_D',), debug_mode=False)
+    log_path = str(tmp_path / 'vec.txt')
+    log = create_logger_in_process(log_path)
+    df, tables = vectorized_sweep(cfg, log=log)
+    sub = df[~df.errored.astype(bool)]
+    # msm has no vectorized path -> skipped with a warning, not errored
+    assert set(sub.method_name) == {'sindy'} and len(sub) == 2
+    assert np.isfinite(sub.encoder_test_rmse_orig).all()
+    assert np.isfinite(sub['decoder_test_rmse_6-step']).all()
+    parsed = df_from_log(log_path)
+    assert len(parsed[~parsed.errored.astype(bool)]) == 2
+    assert tables
+
+
 def test_tune_neural_grid_end_to_end(monkeypatch):
     """--tune for a neural method: seeded subsampled grid search on val
     (the reference's Ray/Optuna finetune, time_varying_model.py:319-395),
