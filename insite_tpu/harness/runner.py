@@ -384,6 +384,56 @@ def _results_df_and_tables(results):
 VECTORIZED_METHODS = ('insite', 'sindy', 'ct')
 
 
+def _vectorized_confounding_sweep(cfg: RunConfig, log=logger):
+    """INSIGHT_CONFOUNDING under --vectorized: the (gamma, seed) grid of
+    each ODE method on EQ_4_D as one compiled program reused across
+    gammas, logged as standard per-run rows (domain_conf column set per
+    gamma, so the confounding figure and tables group correctly)."""
+    from insite_tpu.harness.vectorized import vectorized_confounding_sweep
+    results = []
+    for method_name in cfg.methods:
+        if method_name not in ('insite', 'sindy'):
+            log.warning(f'[vectorized] INSIGHT_CONFOUNDING has a '
+                        f'vectorized path for insite/sindy only; skipping '
+                        f'{method_name}')
+            continue
+        S = cfg.seed_runs
+        thr, lam = sindy_params_for('EQ_4_D')
+        log.info(f'[Now evaluating exp] (vectorized confounding, EQ_4_D, '
+                 f'{method_name}, gammas={tuple(cfg.domain_confs)}, '
+                 f'{S} seeds)')
+        t0 = time.perf_counter()
+        try:
+            r = vectorized_confounding_sweep(
+                'EQ_4_D', gammas=tuple(float(g) for g in cfg.domain_confs),
+                n_seeds=S, n_train=cfg.train_samples,
+                n_test=cfg.test_samples, method=method_name,
+                threshold=thr, alpha=SINDY_ALPHA, lam=lam)
+            secs = time.perf_counter() - t0
+            n_rows = len(r['gammas']) * S
+            for gi, gamma in enumerate(r['gammas']):
+                for s in range(S):
+                    row = {k: float(v[gi, s]) for k, v in r.items()
+                           if isinstance(v, np.ndarray) and v.ndim == 2}
+                    row.update({'method': method_name, 'seed': s,
+                                'seconds_taken': secs / n_rows,
+                                'vectorized': True, 'errored': False,
+                                'dataset_name': 'EQ_4_D',
+                                'method_name': method_name,
+                                'domain_conf': float(gamma)})
+                    log.info(f'[Exp evaluation complete] {row}')
+                    results.append(row)
+        except Exception as e:          # fault wall (run.py:159-169)
+            if cfg.debug_mode:
+                raise
+            log.exception(f'[Error] {e}')
+            traceback.print_exc()
+            results.append({'errored': True, 'dataset_name': 'EQ_4_D',
+                            'method_name': method_name, 'seed': -1,
+                            'domain_conf': cfg.domain_conf})
+    return _results_df_and_tables(results)
+
+
 def vectorized_sweep(cfg: RunConfig, log=logger):
     """`run.py --vectorized`: each (dataset, method) benchmark column runs
     as ONE on-device multi-seed dispatch (harness/vectorized[_neural] —
@@ -393,8 +443,12 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
 
     ODE columns use jax-native cohort sampling (distribution-level parity,
     seeds 0..S-1); the CT column keeps standard-path cohorts and honors
-    `seed_start`.
+    `seed_start`. With `experiment=INSIGHT_CONFOUNDING` the whole
+    (gamma, seed) grid runs via `vectorized_confounding_sweep` (one
+    compiled program reused across gammas).
     """
+    if cfg.experiment == 'INSIGHT_CONFOUNDING':
+        return _vectorized_confounding_sweep(cfg, log)
     results = []
     for dataset_name in cfg.datasets:
         for method_name in cfg.methods:

@@ -203,6 +203,21 @@ def test_vectorized_sweep_logs_standard_rows(tmp_path):
     assert tables
 
 
+def test_vectorized_confounding_sweep_rows():
+    """--vectorized --experiment INSIGHT_CONFOUNDING: per-(gamma, seed)
+    rows with the domain_conf column set, one compiled program reused."""
+    from insite_tpu.harness.runner import vectorized_sweep
+    cfg = RunConfig(train_samples=40, val_samples=8, test_samples=6,
+                    seed_runs=2, methods=('sindy',),
+                    experiment='INSIGHT_CONFOUNDING',
+                    domain_confs=(0.0, 2.0), debug_mode=False)
+    df, _ = vectorized_sweep(cfg)
+    sub = df[~df.errored.astype(bool)]
+    assert len(sub) == 4                      # 2 gammas x 2 seeds
+    assert set(sub.domain_conf) == {0.0, 2.0}
+    assert np.isfinite(sub.encoder_test_rmse_orig).all()
+
+
 def test_tune_neural_grid_end_to_end(monkeypatch):
     """--tune for a neural method: seeded subsampled grid search on val
     (the reference's Ray/Optuna finetune, time_varying_model.py:319-395),
