@@ -75,6 +75,19 @@ def _collection_for(dataset_name, method_name, seed, domain_conf,
     return coll
 
 
+def _merged_overrides(cfg: RunConfig, method_name: str, dataset_name: str,
+                      domain_conf: float) -> dict:
+    """Flatten `cfg.model_overrides` for one run, least-specific key
+    first (`<m>` < `<m>@<ds>` < `<m>@<ds>/<coeff>`)."""
+    mo = cfg.model_overrides or {}
+    coeff = '%g' % float(domain_conf)
+    merged = {}
+    for key in (method_name, f'{method_name}@{dataset_name}',
+                f'{method_name}@{dataset_name}/{coeff}'):
+        merged.update(mo.get(key, {}))
+    return merged
+
+
 def _apply_model_overrides(mcfg, cfg: RunConfig, method_name: str,
                            dataset_name: str, domain_conf: float):
     """Tuned-hparam overlays (the reference's per-dataset/per-coefficient
@@ -82,12 +95,7 @@ def _apply_model_overrides(mcfg, cfg: RunConfig, method_name: str,
     run.py:197-263): merge `cfg.model_overrides` entries onto the model
     config, least-specific key first."""
     import dataclasses
-    mo = cfg.model_overrides or {}
-    coeff = '%g' % float(domain_conf)
-    merged = {}
-    for key in (method_name, f'{method_name}@{dataset_name}',
-                f'{method_name}@{dataset_name}/{coeff}'):
-        merged.update(mo.get(key, {}))
+    merged = _merged_overrides(cfg, method_name, dataset_name, domain_conf)
     if not merged:
         return mcfg
     valid = {f.name for f in dataclasses.fields(mcfg)}
@@ -248,6 +256,25 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
     return results
 
 
+def _read_sweep_fingerprint(log_path: str):
+    """Last '[Sweep config] {json}' line of a sweep log, or None for logs
+    written before fingerprinting existed."""
+    import json
+    tag = '[Sweep config] '
+    fp = None
+    try:
+        with open(log_path) as f:
+            for line in f:
+                if tag in line:
+                    try:
+                        fp = json.loads(line.split(tag, 1)[1])
+                    except json.JSONDecodeError:
+                        pass
+    except OSError:
+        return None
+    return fp
+
+
 def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
           log=None):
     """The full benchmark sweep with per-run fault isolation
@@ -305,6 +332,23 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
             log.warning(f'[sweep] model_overrides keys matching no run in '
                         f'this sweep: {sorted(unmatched)}')
 
+    # config fingerprint logged into every sweep log: resume compares it so
+    # rows computed under different settings (e.g. a --flush smoke run) are
+    # never silently reused as this sweep's results
+    fingerprint = {
+        'experiment': experiment.name, 'epochs': cfg.epochs,
+        'train_samples': cfg.train_samples, 'val_samples': cfg.val_samples,
+        'test_samples': cfg.test_samples, 'cf_seq_mode': cfg.cf_seq_mode,
+        'noise_scale': cfg.noise_scale, 'tune_hparams': cfg.tune_hparams,
+        'model_overrides': cfg.model_overrides or {},
+    }
+    import json
+    # read the resumed log's fingerprint BEFORE logging ours: resuming into
+    # the same log file must not see its own fingerprint as the previous one
+    prev_fp = _read_sweep_fingerprint(cfg.resume_log) if cfg.resume_log \
+        else None
+    log.info(f'[Sweep config] {json.dumps(fingerprint, sort_keys=True)}')
+
     # sweep resume: reuse completed rows from a previous log, skip their
     # runs (errored rows are re-run; the reference's only option is a full
     # re-sweep — its completed runs live only in the log, SURVEY.md §5)
@@ -317,14 +361,42 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
                 (k, float(v)) for k, v in overrides.items()))
             return (ds, method, int(seed), float(gamma), extra)
 
-        for row in df_from_log(cfg.resume_log).to_dict('records'):
-            if not row.get('errored', False):
-                ov = {k: row[k] for k in ('noise_scale', 'train_samples')
-                      if k in row and not pd.isna(row[k])}
-                done[_key(row['dataset_name'], row['method_name'],
-                          row['seed'], row['domain_conf'], ov)] = row
-        log.info(f'[Resume] {len(done)} completed runs found in '
-                 f'{cfg.resume_log}')
+        fp_mismatch = []
+        if prev_fp is not None:
+            # override-swept fields (noise_scale, train_samples) live in the
+            # per-row resume key, so a grid difference is fine; everything
+            # else must match exactly
+            skip = {'noise_scale', 'train_samples'} \
+                if experiment.name.startswith('INSIGHT_') else set()
+            fp_mismatch = [k for k in fingerprint
+                           if k not in skip
+                           and prev_fp.get(k) != fingerprint[k]]
+        if prev_fp is None:
+            log.warning(f'[Resume] {cfg.resume_log} carries no '
+                        f'[Sweep config] fingerprint (pre-fingerprint log); '
+                        f'reusing rows WITHOUT config verification')
+        if fp_mismatch:
+            log.warning(
+                f'[Resume] REFUSING to reuse rows from {cfg.resume_log}: '
+                f'its sweep config differs on {fp_mismatch} '
+                f'(theirs={ {k: prev_fp.get(k) for k in fp_mismatch} } '
+                f'vs ours={ {k: fingerprint[k] for k in fp_mismatch} }); '
+                f'all runs will execute fresh')
+        else:
+            for row in df_from_log(cfg.resume_log).to_dict('records'):
+                if not row.get('errored', False):
+                    ov = {k: row[k]
+                          for k in ('noise_scale', 'train_samples')
+                          if k in row and not pd.isna(row[k])}
+                    # drop NaN / stringified-'nan' metric cells so reused
+                    # rows cannot poison the groupby-mean aggregation
+                    row = {k: v for k, v in row.items()
+                           if not (v == 'nan' or
+                                   (isinstance(v, float) and pd.isna(v)))}
+                    done[_key(row['dataset_name'], row['method_name'],
+                              row['seed'], row['domain_conf'], ov)] = row
+            log.info(f'[Resume] {len(done)} completed runs found in '
+                     f'{cfg.resume_log}')
 
     results = []
     for args in args_for_runs:
@@ -471,7 +543,12 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
                                       'val': cfg.val_samples,
                                       'test': cfg.test_samples},
                         coeff=cfg.domain_conf, epochs=cfg.epochs,
-                        seed_start=cfg.seed_start)
+                        seed_start=cfg.seed_start,
+                        cf_seq_mode=cfg.cf_seq_mode,
+                        noise_scale=cfg.noise_scale,
+                        model_overrides=_merged_overrides(
+                            cfg, method_name, dataset_name,
+                            cfg.domain_conf))
                     seeds = range(cfg.seed_start, cfg.seed_start + S)
                 else:
                     thr, lam = sindy_params_for(dataset_name)

@@ -64,6 +64,43 @@ def _inputs(data):
                            data['prev_outputs'], statics], axis=-1)
 
 
+def make_rollout_fn(net, cfg: GNetConfig):
+    """On-device MC rollout over one padded chunk as a PURE function
+    ``rollout(params, x, split, ridx, resid_bank, resid_len) ->
+    [ph+1, rows, dim_outcome]``: scan over the horizon, each step one
+    forward pass + noisy write-back into the prev_outputs feature slice.
+    Emits the CLEAN per-step outputs (reference records predictions before
+    residual injection, gnet.py:247-259).  Pure, so ``jax.vmap`` trains a
+    whole seed column of rollouts in one dispatch."""
+    po = cfg.dim_treatments            # prev_outputs feature offset
+    do = cfg.dim_outcome
+
+    def rollout(params, x, split, ridx, resid_bank, resid_len):
+        rows = jnp.arange(x.shape[0])
+        T = x.shape[1]
+
+        def step(carry_x, scanned):
+            t, ridx_t = scanned
+            pred = net.apply({'params': params}, carry_x,
+                             False)[..., :do]
+            idx = split - 1 + t
+            out_t = pred[rows, idx]                       # [c, do]
+            rl = resid_len[ridx_t]
+            resid = resid_bank[ridx_t, jnp.minimum(idx, rl - 1)]
+            noisy = out_t + resid
+            wt = jnp.minimum(split + t, T - 1)
+            cur = carry_x[rows, wt, po:po + do]
+            new = jnp.where(t < cfg.projection_horizon, noisy, cur)
+            carry_x = carry_x.at[rows, wt, po:po + do].set(new)
+            return carry_x, out_t
+
+        ph1 = cfg.projection_horizon + 1
+        _, outs = jax.lax.scan(step, x, (jnp.arange(ph1), ridx))
+        return outs                                       # [ph+1, c, do]
+
+    return rollout
+
+
 class GNet(CausalEstimator):
     model_type = 'g_net'
     tuning_criterion = 'rmse'
@@ -145,40 +182,7 @@ class GNet(CausalEstimator):
         return self._predict_data(dataset.data)
 
     def _rollout_fn(self):
-        """On-device MC rollout over one padded chunk: scan over the
-        horizon, each step one forward pass + noisy write-back into the
-        prev_outputs feature slice. Emits the CLEAN per-step outputs
-        (reference records predictions before residual injection,
-        gnet.py:247-259)."""
-        cfg = self.cfg
-        po = cfg.dim_treatments            # prev_outputs feature offset
-        do = cfg.dim_outcome
-        net = self.net
-
-        def rollout(params, x, split, ridx, resid_bank, resid_len):
-            rows = jnp.arange(x.shape[0])
-            T = x.shape[1]
-
-            def step(carry_x, scanned):
-                t, ridx_t = scanned
-                pred = net.apply({'params': params}, carry_x,
-                                 False)[..., :do]
-                idx = split - 1 + t
-                out_t = pred[rows, idx]                       # [c, do]
-                rl = resid_len[ridx_t]
-                resid = resid_bank[ridx_t, jnp.minimum(idx, rl - 1)]
-                noisy = out_t + resid
-                wt = jnp.minimum(split + t, T - 1)
-                cur = carry_x[rows, wt, po:po + do]
-                new = jnp.where(t < cfg.projection_horizon, noisy, cur)
-                carry_x = carry_x.at[rows, wt, po:po + do].set(new)
-                return carry_x, out_t
-
-            ph1 = cfg.projection_horizon + 1
-            _, outs = jax.lax.scan(step, x, (jnp.arange(ph1), ridx))
-            return outs                                       # [ph+1, c, do]
-
-        self._rollout_jit = jax.jit(rollout)
+        self._rollout_jit = jax.jit(make_rollout_fn(self.net, self.cfg))
         return self._rollout_jit
 
     def get_autoregressive_predictions(self, datasets) -> np.ndarray:

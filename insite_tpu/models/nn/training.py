@@ -225,38 +225,46 @@ def fit_br_model(apply_fn: Callable, params, data: dict, cfg: TrainConfig,
     return jax.jit(run)(params, data, rng)
 
 
-def fit_simple(loss_fn: Callable, params, data: dict, cfg: TrainConfig, rng):
-    """Single-optimizer masked training (RMSN sub-networks, G-Net):
-    loss_fn(params, batch, rngs) -> scalar."""
+def make_simple_train_fn(loss_fn: Callable, cfg: TrainConfig,
+                         n_rows: int) -> Callable:
+    """Single-optimizer masked training (RMSN sub-networks, G-Net) as a
+    pure program ``run(params, data, rng) -> params``;
+    loss_fn(params, batch, rngs) -> scalar.  Like `make_br_train_fn`,
+    ``jax.jit(jax.vmap(run))`` trains a whole seed column in one dispatch.
+    `n_rows` is static (batch-count shapes depend on it)."""
     opt = _base_optimizer(cfg)
-    opt_state = opt.init(params)
-    n = next(iter(data.values())).shape[0]
-    bs = min(cfg.batch_size, n)
+    bs = min(cfg.batch_size, n_rows)
 
-    def epoch_step(carry, epoch):
-        p, s, rng = carry
-        rng, shuffle_rng = jax.random.split(rng)
-        batches = make_batches(shuffle_rng, n, bs)
-
-        def one_batch(carry, idx):
+    def run(params, data, rng):
+        def epoch_step(carry, epoch):
             p, s, rng = carry
-            rng, r = jax.random.split(rng)
-            batch = jax.tree_util.tree_map(lambda a: a[idx], data)
-            g = jax.grad(loss_fn)(p, batch, {'dropout': r})
-            upd, s = opt.update(g, s, p)
-            p = optax.apply_updates(p, upd)
-            return (p, s, rng), None
+            rng, shuffle_rng = jax.random.split(rng)
+            batches = make_batches(shuffle_rng, n_rows, bs)
 
-        carry, _ = jax.lax.scan(one_batch, (p, s, rng), batches)
-        return carry, None
+            def one_batch(carry, idx):
+                p, s, rng = carry
+                rng, r = jax.random.split(rng)
+                batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+                g = jax.grad(loss_fn)(p, batch, {'dropout': r})
+                upd, s = opt.update(g, s, p)
+                p = optax.apply_updates(p, upd)
+                return (p, s, rng), None
 
-    @jax.jit
-    def run(params, opt_state, rng):
-        carry, _ = jax.lax.scan(epoch_step, (params, opt_state, rng),
+            carry, _ = jax.lax.scan(one_batch, (p, s, rng), batches)
+            return carry, None
+
+        carry, _ = jax.lax.scan(epoch_step, (params, opt.init(params), rng),
                                 jnp.arange(cfg.epochs))
         return carry[0]
 
-    return run(params, opt_state, rng)
+    return run
+
+
+def fit_simple(loss_fn: Callable, params, data: dict, cfg: TrainConfig, rng):
+    """Single-seed single-optimizer fit (see make_simple_train_fn)."""
+    n = next(iter(data.values())).shape[0]
+    run = make_simple_train_fn(loss_fn, cfg, n)
+    return jax.jit(run)(params, data, rng)
 
 
 def treatment_head_mask(params, head_name='br_treatment_outcome_head'):

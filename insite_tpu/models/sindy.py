@@ -57,7 +57,6 @@ class SINDyConfig:
     ablation_more_complex_basis_functions: bool = False
     sindy_quantize: bool = False
     sindy_quantize_global_model_round_to: int = 2
-    insite_val_error_threshold: float = 1e-4
     projection_horizon: int = 5
     treatment_mode: str = 'multiclass'
     max_stlsq_iter: int = 100   # reference STLSQ max_iter (sindy.py:190)
@@ -472,6 +471,17 @@ class SINDyRegressor(CausalEstimator):
         if chunk is None and cfg.ablation_more_complex_basis_functions:
             chunk = 2048
         n = prev.shape[0]
+        if chunk and self.mesh is not None and n > chunk:
+            # chunking would fight the row sharding (each host-side chunk
+            # re-lays-out the sharded arrays); the whole-cohort program
+            # dispatches instead — flag it, since chunking exists to bound
+            # the A*F-tangent Jacobian HBM of the degree-4 library
+            import logging
+            logging.getLogger('insite_tpu').warning(
+                '[sindy] finetune_chunk=%d ignored on the mesh path: '
+                'dispatching the whole %d-row fine-tune unchunked (the '
+                'degree-4 ablation may exceed per-chip HBM; shard over '
+                'more chips or run unmeshed)', chunk, n)
         if not chunk or self.mesh is not None or n <= chunk:
             return solve(prev, statics, arms, lengths)
         preds_l, coefs_l = [], []

@@ -120,6 +120,46 @@ def test_sweep_resume_skips_completed(tmp_path, monkeypatch):
         pytest.approx(float(orig['encoder_test_rmse_orig']))
 
 
+def test_sweep_resume_refuses_config_mismatch(tmp_path, monkeypatch):
+    """Rows logged under a different sweep config (e.g. a smoke run with
+    fewer epochs) must NOT be reused as this sweep's results."""
+    import logging
+
+    from insite_tpu.harness import runner as runner_mod
+    from insite_tpu.harness.config import RunConfig
+    from insite_tpu.harness.runner import Experiment
+
+    base = dict(train_samples=40, val_samples=8, test_samples=6,
+                seed_runs=1, debug_mode=True, metrics_jsonl='')
+
+    log_path = tmp_path / 'smoke.txt'
+    handler = logging.FileHandler(log_path)
+    log = logging.getLogger('resume_fp_test')
+    log.setLevel(logging.INFO)
+    log.addHandler(handler)
+
+    # smoke sweep at a tiny cohort / different epochs
+    cfg1 = RunConfig(methods=('sindy',), datasets=('EQ_4_D',), epochs=7,
+                     **base)
+    runner_mod.sweep(cfg1, Experiment.MAIN_TABLE, log=log)
+    handler.flush()
+
+    calls = []
+    real_run = runner_mod.run_experiment
+
+    def counting_run(*a, **k):
+        calls.append(a[:3])
+        return real_run(*a, **k)
+
+    monkeypatch.setattr(runner_mod, 'run_experiment', counting_run)
+    # resumed sweep differs on epochs -> every run must execute fresh
+    cfg2 = RunConfig(methods=('sindy',), datasets=('EQ_4_D',), epochs=9,
+                     resume_log=str(log_path), **base)
+    df2, _ = runner_mod.sweep(cfg2, Experiment.MAIN_TABLE, log=log)
+    assert len(df2) == 1
+    assert calls == [('EQ_4_D', 'sindy', 0)]   # re-ran despite resume_log
+
+
 @pytest.mark.parametrize('kind', ['msm', 'gnet', 'rmsn', 'crn', 'edct'])
 def test_remaining_families_roundtrip(tmp_path, kind):
     coll = make_coll()
