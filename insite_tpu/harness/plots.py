@@ -19,20 +19,34 @@ def _agg(df, group_cols, use_95_ci=True):
     return g.mean(), g.agg(err), ('ci' if use_95_ci else 'std')
 
 
-def plot_n_step_rmses(df_results, out_path: str, use_95_ci=True):
-    """One panel per dataset: mean +- CI of the 2..6-step decoder RMSE per
-    method, horizon on the x axis."""
+def plot_n_step_rmses(df_results, out_path: str, use_95_ci=True,
+                      logy=True, domain_conf=None):
+    """One panel per dataset: mean +- CI of the 1..6-step RMSE per method,
+    horizon on the x axis — the reference's n-step overlap graph
+    (utils/results_utils.py:568-677): the 1-step point is
+    encoder_test_rmse_orig (STEP_AHEAD_NAME_MAP), y is log-scale, and with
+    a `domain_conf` (or when several gammas are present, gamma = 2, the
+    benchmark default) only that confounding level is plotted."""
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
     df = df_results[~df_results.get('errored', False).astype(bool)] \
         if 'errored' in df_results.columns else df_results
+    if 'domain_conf' in df.columns:
+        gammas = df['domain_conf'].dropna().unique()
+        if domain_conf is None and len(gammas) > 1:
+            domain_conf = 2.0      # results_utils.py:627
+        if domain_conf is not None:
+            df = df[df['domain_conf'] == float(domain_conf)]
     step_cols = sorted([c for c in df.columns if 'decoder_test_rmse' in c],
                        key=lambda c: int(c.split('_')[-1].split('-')[0]))
     if not step_cols:
         raise ValueError('no decoder_test_rmse_<k>-step columns found')
     steps = [int(c.split('_')[-1].split('-')[0]) for c in step_cols]
+    if 'encoder_test_rmse_orig' in df.columns:  # 1-step-ahead point
+        step_cols = ['encoder_test_rmse_orig'] + step_cols
+        steps = [1] + steps
     datasets = list(df.dataset_name.unique())
 
     means, errs, _ = _agg(df, ['dataset_name', 'method_name'], use_95_ci)
@@ -50,8 +64,11 @@ def plot_n_step_rmses(df_results, out_path: str, use_95_ci=True):
             ax.fill_between(steps, m - np.nan_to_num(e),
                             m + np.nan_to_num(e), alpha=0.25)
         ax.set_title(DATASET_NAME_MAP.get(ds, ds))
-        ax.set_xlabel('prediction horizon (steps)')
+        ax.set_xlabel(r'$\tau$-step ahead prediction')
         ax.set_ylabel('normalized RMSE (%)')
+        ax.set_xticks(steps)
+        if logy:
+            ax.set_yscale('log')
     axes[0][0].legend(fontsize=8)
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
@@ -60,8 +77,15 @@ def plot_n_step_rmses(df_results, out_path: str, use_95_ci=True):
 
 
 def plot_confounding_sweep(df_results, out_path: str,
-                           metric='encoder_test_rmse_orig', use_95_ci=True):
-    """RMSE vs confounding strength gamma (the INSIGHT_CONFOUNDING figure)."""
+                           metric='encoder_test_rmse_orig', use_95_ci=True,
+                           logy=False):
+    """RMSE vs confounding strength gamma — the INSIGHT_CONFOUNDING figure
+    and the per-(dataset, step) half of the reference's overlap graph
+    (utils/results_utils.py:680-727, one figure per metric via
+    make_figures --metrics).  The reference's plot_threshold_plots
+    (:729-838) is dead code inherited from the authors' active-observing
+    project (env_name / sampling_policy / total_reward columns no run of
+    THIS benchmark emits) and is deliberately not reproduced."""
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
@@ -83,6 +107,8 @@ def plot_confounding_sweep(df_results, out_path: str,
                         np.nan_to_num(sub_e.to_numpy(float)), alpha=0.25)
     ax.set_xlabel(r'confounding strength $\gamma$')
     ax.set_ylabel(f'{metric} (%)')
+    if logy:
+        ax.set_yscale('log')
     ax.legend(fontsize=8)
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)

@@ -453,7 +453,8 @@ def _results_df_and_tables(results):
 
 
 # (dataset, method) columns the vectorized on-device paths cover
-VECTORIZED_METHODS = ('insite', 'sindy', 'ct')
+VECTORIZED_METHODS = ('insite', 'sindy', 'ct', 'crn', 'edct', 'rmsn',
+                      'gnet')
 
 
 def _vectorized_confounding_sweep(cfg: RunConfig, log=logger):
@@ -534,11 +535,10 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
                      f'{method_name}, {S} seeds)')
             t0 = time.perf_counter()
             try:
-                if method_name == 'ct':
-                    from insite_tpu.harness.vectorized_neural import \
-                        vectorized_ct_sweep
-                    r = vectorized_ct_sweep(
-                        dataset_name, n_seeds=S,
+                if method_name in ('ct', 'crn', 'edct', 'rmsn', 'gnet'):
+                    from insite_tpu.harness import vectorized_neural as vn
+                    kw = dict(
+                        n_seeds=S,
                         num_patients={'train': cfg.train_samples,
                                       'val': cfg.val_samples,
                                       'test': cfg.test_samples},
@@ -549,6 +549,17 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
                         model_overrides=_merged_overrides(
                             cfg, method_name, dataset_name,
                             cfg.domain_conf))
+                    if method_name == 'ct':
+                        r = vn.vectorized_ct_sweep(dataset_name, **kw)
+                    elif method_name in ('crn', 'edct'):
+                        r = vn.vectorized_enc_dec_sweep(
+                            method_name, dataset_name, **kw)
+                    elif method_name == 'rmsn':
+                        r = vn.vectorized_rmsn_sweep(dataset_name, **kw)
+                    else:
+                        r = vn.vectorized_gnet_sweep(
+                            dataset_name, mc_samples=cfg.gnet_mc_samples,
+                            **kw)
                     seeds = range(cfg.seed_start, cfg.seed_start + S)
                 else:
                     thr, lam = sindy_params_for(dataset_name)

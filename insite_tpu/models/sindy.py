@@ -274,6 +274,14 @@ class SINDyRegressor(CausalEstimator):
         else:
             coefs = self._fit_tumor(volumes, statics, arms, lengths)
         self.coefs = np.asarray(coefs)
+        if cfg.sindy_quantize:
+            # the reference quantizes the sympy model PREDICTIONS run on
+            # (sindy.py:274-294 + pkpd/utils.py:372-397), not just the
+            # printed equation — round the global coefficients themselves,
+            # so rollouts and the INSITE fine-tune start (and its proximal
+            # anchor) all consume the quantized model
+            self.coefs = np.round(
+                self.coefs, cfg.sindy_quantize_global_model_round_to)
 
         names = self._input_names()
         eq_strs = [self.library.pretty_equation(
@@ -731,39 +739,59 @@ def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
             # turn inf * 0 into NaN residuals
             return jnp.where(prefix_mask > 0, prev_i[1:] - preds[:-1], 0.0)
 
-        mse0 = jnp.sum(data_residuals(g_red) ** 2) / n_mask
-        # scale so that sum(residuals^2) == objective  (guard mse0 ~ 0)
-        data_scale = 1.0 / jnp.sqrt(2.5 * jnp.maximum(mse0, 1e-30) * n_mask)
+        def resid_and_jac(coefs_red):
+            """Unscaled data residuals + their Jacobian in ONE rollout
+            scan: vmapped jvp over the coordinate basis carries the Kr
+            forward tangents alongside the (unbatched, computed-once)
+            primal — the wall-clock of this whole fine-tune is sequential
+            rollout depth, so every saved scan is ~T*STEPS_FOR_DT steps."""
+            r, Jt = jax.vmap(
+                lambda v: jax.jvp(data_residuals, (coefs_red,), (v,)),
+                out_axes=(None, 0))(eye)
+            return r, Jt.T                                   # [T-1], [T-1,Kr]
+
         reg_scale = jnp.sqrt(lam / K)
 
-        def residuals(coefs_red):
-            r_data = data_residuals(coefs_red) * data_scale
-            r_reg = reg_scale * (coefs_red - g_red)
-            return jnp.concatenate([r_data, r_reg])
-
-        def objective(coefs_red):
-            return jnp.sum(residuals(coefs_red) ** 2)
-
-        def gn_step(carry, _):
-            c, mu, obj = carry
-            r = residuals(c)
-            J = jax.jacfwd(residuals)(c)                     # [R, K]
-            JtJ = J.T @ J
-            rhs = -(J.T @ r)
-            delta = jnp.linalg.solve(JtJ + mu * eye, rhs)
-            c_new = c + delta
-            obj_new = objective(c_new)
-            better = jnp.isfinite(obj_new) & (obj_new < obj)
-            c = jnp.where(better, c_new, c)
-            obj = jnp.where(better, obj_new, obj)
-            mu = jnp.where(better, mu * 0.3, mu * 10.0)
-            mu = jnp.clip(mu, 1e-8, 1e8)
-            return (c, mu, obj), None
-
         def do_finetune(_):
-            init = (g_red, jnp.asarray(1e-3, prev_i.dtype),
-                    objective(g_red))
-            (c, _, _), _ = lax.scan(gn_step, init, None, length=gn_iters)
+            r0, J0 = resid_and_jac(g_red)
+            mse0 = jnp.sum(r0 ** 2) / n_mask
+            # scale so that sum(residuals^2) == objective (guard mse0 ~ 0)
+            ds = 1.0 / jnp.sqrt(2.5 * jnp.maximum(mse0, 1e-30) * n_mask)
+
+            def full_obj(r_data, c):
+                return jnp.sum((r_data * ds) ** 2) + \
+                    jnp.sum((reg_scale * (c - g_red)) ** 2)
+
+            def solve_step(r_data, J_data, c, mu):
+                Js = J_data * ds                             # [T-1, Kr]
+                JtJ = Js.T @ Js + (reg_scale ** 2) * eye
+                rhs = -(Js.T @ (r_data * ds)) - \
+                    (reg_scale ** 2) * (c - g_red)
+                return c + jnp.linalg.solve(JtJ + mu * eye, rhs)
+
+            mu0 = jnp.asarray(1e-3, prev_i.dtype)
+            obj0 = full_obj(r0, g_red)
+            cand0 = solve_step(r0, J0, g_red, mu0)
+
+            def gn_step(carry, _):
+                # deferred acceptance: ONE rollout scan per iteration —
+                # evaluate the pending candidate, fall back to the cached
+                # (r, J) of the incumbent on rejection, propose the next
+                c_best, r_best, J_best, obj_best, mu, cand = carry
+                r_c, J_c = resid_and_jac(cand)
+                obj_c = full_obj(r_c, cand)
+                better = jnp.isfinite(obj_c) & (obj_c < obj_best)
+                c_best = jnp.where(better, cand, c_best)
+                obj_best = jnp.where(better, obj_c, obj_best)
+                r_best = jnp.where(better, r_c, r_best)
+                J_best = jnp.where(better, J_c, J_best)
+                mu = jnp.clip(jnp.where(better, mu * 0.3, mu * 10.0),
+                              1e-8, 1e8)
+                cand = solve_step(r_best, J_best, c_best, mu)
+                return (c_best, r_best, J_best, obj_best, mu, cand), None
+
+            init = (g_red, r0, J0, obj0, mu0, cand0)
+            (c, *_), _ = lax.scan(gn_step, init, None, length=gn_iters)
             return to_full(c).reshape(A, F) * sparse_mask
 
         coefs_i = lax.cond(length_i <= projection_horizon,

@@ -159,3 +159,24 @@ def test_recover_parametric_dist(collection):
         # leaves a little room
         assert s['pearson_r'] > 0.9, (arm, s)
         assert abs(s['recovered_mean'] - s['true_mean']) < 0.05, (arm, s)
+
+
+def test_sindy_quantize_affects_predictions(collection):
+    """The quantize ablation rounds the model PREDICTIONS run on
+    (reference sindy.py:274-294), not just the equation string: the global
+    coefficients themselves are rounded, so rollouts consume them."""
+    kw = dict(dataset_name='EQ_4_D', sindy_threshold=0.1, sindy_alpha=0.5,
+              lam=10.0, insite=False)
+    base = SINDyRegressor(SINDyConfig(**kw), collection) \
+        .fit(collection.train_f)
+    quant = SINDyRegressor(
+        SINDyConfig(sindy_quantize=True,
+                    sindy_quantize_global_model_round_to=1, **kw),
+        collection).fit(collection.train_f)
+    np.testing.assert_array_equal(quant.coefs,
+                                  np.round(base.coefs, 1))
+    # predictions actually differ when the rounding moved a coefficient
+    if not np.allclose(quant.coefs, base.coefs):
+        pb = base.get_predictions(collection.test_cf_one_step)
+        pq = quant.get_predictions(collection.test_cf_one_step)
+        assert not np.allclose(pb, pq)

@@ -154,6 +154,48 @@ def test_vectorized_ct_sweep_mesh_matches_unsharded():
         np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4, atol=1e-6)
 
 
+def test_vectorized_enc_dec_sweep_smoke():
+    """Whole CRN / EDCT seed columns as vmapped two-stage dispatches."""
+    import numpy as np
+    from insite_tpu.harness.vectorized_neural import vectorized_enc_dec_sweep
+    for method in ('crn', 'edct'):
+        r = vectorized_enc_dec_sweep(
+            method, 'EQ_4_D', n_seeds=2,
+            num_patients={'train': 40, 'val': 8, 'test': 6},
+            epochs=2, eval_chunk=64)
+        assert set(r) >= {'encoder_test_rmse_orig', 'encoder_test_rmse_all',
+                          'encoder_test_rmse_last',
+                          'decoder_test_rmse_2-step',
+                          'decoder_test_rmse_6-step'}, method
+        for k, v in r.items():
+            assert v.shape == (2,) and np.isfinite(v).all(), (method, k)
+            assert (v < 50).all(), (method, k)
+
+
+def test_vectorized_rmsn_sweep_smoke():
+    import numpy as np
+    from insite_tpu.harness.vectorized_neural import vectorized_rmsn_sweep
+    r = vectorized_rmsn_sweep(
+        'EQ_4_D', n_seeds=2, num_patients={'train': 40, 'val': 8,
+                                           'test': 6},
+        epochs=2, eval_chunk=64)
+    for k, v in r.items():
+        assert v.shape == (2,) and np.isfinite(v).all(), k
+        assert (v < 50).all(), k
+
+
+def test_vectorized_gnet_sweep_smoke():
+    import numpy as np
+    from insite_tpu.harness.vectorized_neural import vectorized_gnet_sweep
+    r = vectorized_gnet_sweep(
+        'EQ_4_D', n_seeds=2, num_patients={'train': 40, 'val': 8,
+                                           'test': 6},
+        epochs=2, eval_chunk=64, mc_samples=2)
+    for k, v in r.items():
+        assert v.shape == (2,) and np.isfinite(v).all(), k
+        assert (v < 50).all(), k
+
+
 def test_vectorized_ct_sweep_smoke():
     """Whole CT seed column as one vmapped training dispatch: metric keys,
     per-seed values finite, magnitudes at the untrained-network level for
