@@ -121,6 +121,7 @@ class RealDatasetCollection(DatasetCollection):
                  treatment_mode: str = 'multiclass', seed: int = 0):
         super().__init__()
         self.train_f, self.val_f, self.test_f = train_f, val_f, test_f
+        self.has_vitals = 'vitals' in train_f.data
         # the evaluation entry points expect these aliases: both test views
         # are the factual test set for real data
         self.test_cf_one_step = test_f
@@ -144,21 +145,27 @@ class RealDatasetCollection(DatasetCollection):
         self.processed_data_multi = True
 
     def process_data_decoder(self, encoder, save_encoder_r=False):
-        """Used by CRN, RMSN, EDCT (dataset_collection.py:148-168)."""
-        self.test_f.explode_trajectories(self.projection_horizon)
+        """Used by CRN, RMSN, EDCT (dataset_collection.py:148-168).
+
+        The decoder stages consume a COPY of test_f: the raw factual rows
+        stay available as test_cf_one_step for the encoder's factual-RMSE
+        protocol, which the reference computes on unprocessed test_f
+        (train_enc_dec.py:92-100) before decoder processing."""
+        test_seq = deepcopy(self.test_f)
+        test_seq.explode_trajectories(self.projection_horizon)
         r_train = encoder.get_representations(self.train_f)
         r_val = encoder.get_representations(self.val_f)
-        r_test = encoder.get_representations(self.test_f)
-        out_test = encoder.get_predictions(self.test_f)
+        r_test = encoder.get_representations(test_seq)
+        out_test = encoder.get_predictions(test_seq)
         self.train_f.process_sequential(r_train, self.projection_horizon,
                                         save_encoder_r)
         self.val_f.process_sequential(r_val, self.projection_horizon,
                                       save_encoder_r)
-        self.test_f.process_sequential_test(self.projection_horizon, r_test,
-                                            save_encoder_r)
-        self.test_f.process_autoregressive_test(
+        test_seq.process_sequential_test(self.projection_horizon, r_test,
+                                         save_encoder_r)
+        test_seq.process_autoregressive_test(
             r_test, out_test, self.projection_horizon, save_encoder_r)
-        self.test_cf_treatment_seq = self.test_f
+        self.test_cf_treatment_seq = test_seq
         self.processed_data_decoder = True
 
 

@@ -84,6 +84,12 @@ class SeqDataset:
         }
         if 'current_covariates' in d:
             new['current_covariates'] = prefix(d['current_covariates'])
+        if 'vitals' in d:
+            # real-EHR vitals stream: next_vitals[t] = vitals[t+1], one
+            # step shorter (mimic-style layout the reference's G-Net/CT
+            # consume, gnet.py:157-168)
+            new['vitals'] = prefix(d['vitals'])
+            new['next_vitals'] = new['vitals'][:, 1:]
         new['unscaled_outputs'] = (new['outputs'] *
                                    self.scaling_params['output_stds'] +
                                    self.scaling_params['output_means'])
@@ -188,6 +194,10 @@ class SeqDataset:
         seq2seq['unscaled_outputs'] = (
             seq2seq['outputs'] * self.scaling_params['output_stds'] +
             self.scaling_params['output_means'])
+        if 'vitals' in d:
+            # observed (factual) vitals over the evaluation window — the
+            # CT masks them past the rolling origin at model level
+            seq2seq['vitals'] = d['vitals'][rows, win]
         if encoder_r is not None:
             seq2seq['init_state'] = encoder_r[np.arange(num_rows),
                                               fact_length - 1]
@@ -238,6 +248,8 @@ class SeqDataset:
             encoder_outputs[rows, fact_length - 1]
         cur['prev_outputs'] = cur['current_covariates'][:, :, :1]
         cur['static_features'] = od['static_features']
+        if 'vitals' in od:
+            cur['vitals'] = od['vitals'][rows[:, None], win]
 
         self.data_processed_seq = deepcopy(self.data)
         self.data = cur

@@ -37,11 +37,14 @@ class Experiment(Enum):
     INSIGHT_LESS_SAMPLES = 7
 
 
-def _dims_from_collection(coll):
+def _dims_from_collection(coll, with_vitals=False):
     d = coll.train_f.data
-    return dict(dim_outcome=d['outputs'].shape[-1],
+    dims = dict(dim_outcome=d['outputs'].shape[-1],
                 dim_treatments=d['current_treatments'].shape[-1],
                 dim_static_features=d['static_features'].shape[-1])
+    if with_vitals and 'vitals' in d:
+        dims['dim_vitals'] = d['vitals'].shape[-1]
+    return dims
 
 
 def _collection_for(dataset_name, method_name, seed, domain_conf,
@@ -143,7 +146,9 @@ def _build_model(method_name, dataset_name, coll, cfg: RunConfig,
         from insite_tpu.models.ct import CTConfig, CausalTransformer
         return CausalTransformer(
             _ov(CTConfig(epochs=cfg.epochs, seed=seed,
-                         treatment_mode=coll.treatment_mode, **dims)), coll)
+                         treatment_mode=coll.treatment_mode,
+                         **_dims_from_collection(coll, with_vitals=True))),
+            coll)
     if method_name == 'crn':
         from insite_tpu.models.crn import CRN, CRNConfig
         return CRN(_ov(CRNConfig(epochs=cfg.epochs, seed=seed,
@@ -161,9 +166,9 @@ def _build_model(method_name, dataset_name, coll, cfg: RunConfig,
                                    **dims)), coll)
     if method_name == 'gnet':
         from insite_tpu.models.gnet import GNet, GNetConfig
-        return GNet(_ov(GNetConfig(epochs=cfg.epochs, seed=seed,
-                                   mc_samples=cfg.gnet_mc_samples, **dims)),
-                    coll)
+        return GNet(_ov(GNetConfig(
+            epochs=cfg.epochs, seed=seed, mc_samples=cfg.gnet_mc_samples,
+            **_dims_from_collection(coll, with_vitals=True))), coll)
     if method_name == 'msm':
         from insite_tpu.models.msm import MSM, MSMConfig
         return MSM(_ov(MSMConfig(max_epochs=cfg.epochs, **dims)), coll)

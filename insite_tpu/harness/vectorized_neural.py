@@ -166,7 +166,8 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
                         eval_chunk: int = 4096, mesh=None,
                         cf_seq_mode: str = 'sliding_treatment',
                         noise_scale: float = 1.0,
-                        model_overrides: dict = None) -> dict:
+                        model_overrides: dict = None,
+                        max_seq_length: int = 60) -> dict:
     """Train + evaluate CT for `n_seeds` seeds in one vmapped program.
 
     Returns {'encoder_test_rmse_orig'/'all'/'last': [S],
@@ -193,7 +194,8 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
                                coeff=float(coeff),
                                treatment_mode='multilabel',
                                cf_seq_mode=cf_seq_mode,
-                               noise_scale=noise_scale)
+                               noise_scale=noise_scale,
+                               max_seq_length=max_seq_length)
         coll.process_data_multi()
         colls.append(coll)
 
@@ -215,18 +217,22 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
         else _shard_seed_axis(train, mesh)
 
     # --- per-seed init + one vmapped training dispatch --------------------
+    # rng discipline matches CausalTransformer.fit exactly (rng =
+    # PRNGKey(seed); rng, init_rng = split; init with init_rng + rng; train
+    # with rng), so a vectorized column reproduces the standard per-seed
+    # path up to vmap reduction order
     sample = jax.tree_util.tree_map(lambda a: a[0, :2], train)
-    rngs = jnp.stack([jax.random.PRNGKey(s)
-                      for s in range(seed_start, seed_start + n_seeds)])
+    init_rngs, carry_rngs = _stage_rngs(
+        range(seed_start, seed_start + n_seeds))
     if mesh is not None:
-        rngs = _shard_seed_axis(rngs, mesh)
+        init_rngs = _shard_seed_axis(init_rngs, mesh)
+        carry_rngs = _shard_seed_axis(carry_rngs, mesh)
 
-    def init_one(rng):
-        r_init, r_drop = jax.random.split(rng)
-        return net.init({'params': r_init, 'dropout': r_drop}, sample,
+    def init_one(ir, dr):
+        return net.init({'params': ir, 'dropout': dr}, sample,
                         0.0, False, False)['params']
 
-    params = jax.jit(jax.vmap(init_one))(rngs)
+    params = jax.jit(jax.vmap(init_one))(init_rngs, carry_rngs)
     mask = treatment_head_mask(
         jax.tree_util.tree_map(lambda a: a[0], params))
 
@@ -237,8 +243,7 @@ def vectorized_ct_sweep(dataset_name: str, n_seeds: int = 10,
                          rngs=rngs_)
 
     run = make_br_train_fn(apply_fn, tc, mask)
-    train_rngs = jax.vmap(lambda r: jax.random.fold_in(r, 1))(rngs)
-    params, ema = jax.jit(jax.vmap(run))(params, train, train_rngs)
+    params, ema = jax.jit(jax.vmap(run))(params, train, carry_rngs)
     # EMA weights for the non-treatment partition (predict_step,
     # time_varying_model.py:599-608); works on stacked trees
     pred_params = merge_by_mask(params, ema, mask) if cfg.weights_ema \
@@ -319,7 +324,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
                              mesh=None,
                              cf_seq_mode: str = 'sliding_treatment',
                              noise_scale: float = 1.0,
-                             model_overrides: dict = None) -> dict:
+                             model_overrides: dict = None,
+                             max_seq_length: int = 60) -> dict:
     """Train + evaluate a whole CRN or EDCT seed column with the two
     stage fits (encoder, decoder) each ONE vmapped dispatch.
 
@@ -351,7 +357,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
                                coeff=float(coeff),
                                treatment_mode='multilabel',
                                cf_seq_mode=cf_seq_mode,
-                               noise_scale=noise_scale)
+                               noise_scale=noise_scale,
+                               max_seq_length=max_seq_length)
         coll.process_data_encoder()
         colls.append(coll)
 
@@ -501,7 +508,8 @@ def vectorized_rmsn_sweep(dataset_name: str, n_seeds: int = 10,
                           eval_chunk: int = 8192, mesh=None,
                           cf_seq_mode: str = 'sliding_treatment',
                           noise_scale: float = 1.0,
-                          model_overrides: dict = None) -> dict:
+                          model_overrides: dict = None,
+                          max_seq_length: int = 60) -> dict:
     """Train + evaluate a whole RMSN seed column: the four sub-network
     fits (propensity-treatment, propensity-history, SW-weighted encoder,
     SW-weighted decoder) each run as ONE vmapped dispatch; stabilized
@@ -524,7 +532,8 @@ def vectorized_rmsn_sweep(dataset_name: str, n_seeds: int = 10,
                                coeff=float(coeff),
                                treatment_mode='multilabel',
                                cf_seq_mode=cf_seq_mode,
-                               noise_scale=noise_scale)
+                               noise_scale=noise_scale,
+                               max_seq_length=max_seq_length)
         coll.process_data_encoder()
         colls.append(coll)
 
@@ -679,7 +688,8 @@ def vectorized_gnet_sweep(dataset_name: str, n_seeds: int = 10,
                           mesh=None,
                           cf_seq_mode: str = 'sliding_treatment',
                           noise_scale: float = 1.0,
-                          model_overrides: dict = None) -> dict:
+                          model_overrides: dict = None,
+                          max_seq_length: int = 60) -> dict:
     """Train + evaluate a whole G-Net seed column: the representation-net
     fit is ONE vmapped dispatch and the MC-noisy autoregressive rollouts
     run seed-vmapped in row chunks (models/gnet.py)."""
@@ -700,7 +710,8 @@ def vectorized_gnet_sweep(dataset_name: str, n_seeds: int = 10,
                                coeff=float(coeff),
                                treatment_mode='multilabel',
                                cf_seq_mode=cf_seq_mode,
-                               noise_scale=noise_scale)
+                               noise_scale=noise_scale,
+                               max_seq_length=max_seq_length)
         coll.process_data_multi()
         colls.append(coll)
         d0 = d0 or coll.train_f.data

@@ -73,8 +73,13 @@ class CRNSubNetwork(nn.Module):
     @nn.compact
     def __call__(self, batch, alpha=0.0, train=False,
                  detach_treatment=False):
-        x = jnp.concatenate([batch['prev_treatments'],
-                             batch['prev_outputs']], axis=-1)
+        # (prev_treatments, [vitals,] prev_outputs) — reference
+        # crn.py:95-96, 129-132; only encoder batches carry vitals
+        parts = [batch['prev_treatments']]
+        if 'vitals' in batch:
+            parts.append(batch['vitals'])
+        parts.append(batch['prev_outputs'])
+        x = jnp.concatenate(parts, axis=-1)
         statics = jnp.repeat(batch['static_features'][:, None, :],
                              x.shape[1], axis=1)
         x = jnp.concatenate([x, statics], axis=-1)
@@ -183,11 +188,15 @@ class CRN(CausalEstimator):
                       alpha=cfg.alpha, update_alpha=cfg.update_alpha,
                       weights_ema=cfg.weights_ema, beta=cfg.beta,
                       treatment_mode=cfg.treatment_mode)
-        self.encoder = _Stage(enc_net, _ENC_KEYS,
+        # encoder consumes the vitals stream when the collection has one
+        # (reference crn.py:113,129-132); the decoder never does
+        vit = ('vitals',) if getattr(dataset_collection, 'has_vitals',
+                                     False) else ()
+        self.encoder = _Stage(enc_net, _ENC_KEYS + vit,
                               TrainConfig(batch_size=cfg.enc_batch_size,
                                           learning_rate=cfg.enc_learning_rate,
                                           **common), cfg.seed,
-                              input_keys=_ENC_IN)
+                              input_keys=_ENC_IN + vit)
         self.decoder = _Stage(dec_net, _DEC_KEYS,
                               TrainConfig(batch_size=cfg.dec_batch_size,
                                           learning_rate=cfg.dec_learning_rate,

@@ -36,6 +36,13 @@ class CTConfig:
     dim_treatments: int = 2
     dim_static_features: int = 2
     dim_outcome: int = 1
+    # vitals stream (real-EHR collections; every synthetic benchmark has
+    # dim_vitals = 0, config/dataset/*.yaml)
+    dim_vitals: int = 0
+    # training-time augmentation: each batch doubled with a vitals-masked
+    # copy split at a random point (reference ct.py:116-126,
+    # config/backbone/ct.yaml:28)
+    augment_with_masked_vitals: bool = True
     seq_hidden_units: int = 16
     br_size: int = 16
     fc_hidden_units: int = 32
@@ -64,6 +71,7 @@ class CTNetwork(nn.Module):
     def __call__(self, batch, alpha=0.0, train=False,
                  detach_treatment=False):
         cfg = self.cfg
+        has_vitals = cfg.dim_vitals > 0
         x_t = TorchDense(cfg.seq_hidden_units,
                        name='treatments_input')(batch['prev_treatments'])
         x_o = TorchDense(cfg.seq_hidden_units,
@@ -72,22 +80,51 @@ class CTNetwork(nn.Module):
                        name='static_input')(batch['static_features'][:, None,
                                                                      :])
         active = batch['active_entries']
+        T = x_t.shape[1]
+
+        # vitals masked past the rolling origin — test sequence rows and
+        # masked-augmentation training rows carry a per-row split
+        # (reference ct.py:143-151)
+        split = batch.get('fixed_split', batch.get('future_past_split'))
+        x_v = active_vitals = None
+        if has_vitals:
+            vitals = batch['vitals']
+            active_vitals = active
+            if split is not None:
+                vit_mask = (jnp.arange(T)[None, :] <
+                            split[:, None]).astype(vitals.dtype)
+                vitals = vitals * vit_mask[..., None]
+                active_vitals = active * vit_mask[..., None]
+            x_v = TorchDense(cfg.seq_hidden_units,
+                             name='vitals_input')(vitals)
+
         head_size = cfg.seq_hidden_units // cfg.num_heads
         # ONE shared k and ONE shared v relative-PE table for every
         # attention module in every block (reference ct.py:92-93)
-        T = x_t.shape[1]
         from insite_tpu.models.nn.blocks import RelativePositionalEncoding
         rel_k = RelativePositionalEncoding(
             cfg.max_relative_position, head_size, name='self_pe_k')(T, T)
         rel_v = RelativePositionalEncoding(
             cfg.max_relative_position, head_size, name='self_pe_v')(T, T)
         for i in range(cfg.num_layer):
-            x_t, x_o = TransformerMultiInputBlock(
+            streams = TransformerMultiInputBlock(
                 cfg.seq_hidden_units, cfg.num_heads, head_size,
                 cfg.seq_hidden_units * 4, cfg.dropout_rate, cfg.dropout_rate,
                 cfg.max_relative_position, name=f'block_{i}')(
-                    x_t, x_o, x_s, active, train, rel_k, rel_v)
-        x = (x_o + x_t) / 2
+                    x_t, x_o, x_s, active, train, rel_k, rel_v,
+                    x_v=x_v, active_vitals=active_vitals)
+            if has_vitals:
+                x_t, x_o, x_v = streams
+            else:
+                x_t, x_o = streams
+        if not has_vitals:
+            x = (x_o + x_t) / 2
+        elif split is not None:
+            # past the split only t/o streams carry signal (ct.py:173-180)
+            pre = (jnp.arange(T)[None, :] < split[:, None])[..., None]
+            x = jnp.where(pre, (x_o + x_t + x_v) / 3, (x_o + x_t) / 2)
+        else:
+            x = (x_o + x_t + x_v) / 3
         x = nn.Dropout(cfg.dropout_rate, deterministic=not train)(x)
         head = BRTreatmentOutcomeHead(cfg.br_size, cfg.fc_hidden_units,
                                       cfg.dim_treatments, cfg.dim_outcome,
@@ -98,10 +135,32 @@ class CTNetwork(nn.Module):
 
 _BATCH_KEYS = ('prev_treatments', 'prev_outputs', 'static_features',
                'current_treatments', 'outputs', 'active_entries')
+# optional keys picked up when the dataset carries them (real-EHR vitals,
+# rolling-origin test rows)
+_OPT_KEYS = ('vitals', 'future_past_split')
 
 
 def _device_batch(data, keys=_BATCH_KEYS, dtype=jnp.float32):
+    keys = tuple(keys) + tuple(k for k in _OPT_KEYS
+                               if k in data and k not in keys)
     return {k: jnp.asarray(data[k], dtype) for k in keys}
+
+
+def ct_augment_fn(batch, rng):
+    """Masked-vitals training augmentation (reference ct.py:116-126): the
+    batch is doubled — originals keep their full vitals (split = seq_len),
+    copies get a uniform random split in [0, seq_len] masking vitals from
+    there on.  The reference re-doubles the already-doubled batch on the
+    second optimizer pass (Lightning calls forward once per optimizer on
+    the same mutated dict) — here both optimizer losses see ONE doubled
+    batch per step, the documented intent of the augmentation."""
+    seq_len = batch['active_entries'][..., 0].sum(axis=1)
+    rand_split = jnp.floor(
+        jax.random.uniform(rng, seq_len.shape) * (seq_len + 1.0))
+    doubled = jax.tree_util.tree_map(
+        lambda v: jnp.concatenate([v, v], axis=0), batch)
+    doubled['fixed_split'] = jnp.concatenate([seq_len, rand_split])
+    return doubled
 
 
 def ct_train_config(cfg: CTConfig):
@@ -150,7 +209,10 @@ class CausalTransformer(CausalEstimator):
 
         tc = ct_train_config(cfg)
         self.params, self.ema_params = fit_br_model(
-            self._apply, params, data, tc, self.treat_mask, rng)
+            self._apply, params, data, tc, self.treat_mask, rng,
+            augment_fn=ct_augment_fn if (cfg.dim_vitals > 0 and
+                                         cfg.augment_with_masked_vitals)
+            else None)
         return self
 
     def _predict_params(self):
@@ -177,7 +239,8 @@ class CausalTransformer(CausalEstimator):
         """Iterative multi-step: write predictions into prev_outputs at the
         rolling origin (ct.py:187-203)."""
         ph = self.cfg.projection_horizon
-        data = {k: np.array(dataset.data[k]) for k in _BATCH_KEYS}
+        data = {k: np.array(dataset.data[k])
+                for k in _BATCH_KEYS + _OPT_KEYS if k in dataset.data}
         split = dataset.data['future_past_split'].astype(int)
         n = data['outputs'].shape[0]
         predicted = np.zeros((n, ph, self.cfg.dim_outcome))

@@ -63,8 +63,11 @@ class EDCTEncoderNetwork(nn.Module):
     def __call__(self, batch, alpha=0.0, train=False,
                  detach_treatment=False):
         cfg = self.cfg
-        x = jnp.concatenate([batch['prev_treatments'],
-                             batch['prev_outputs']], axis=-1)
+        parts = [batch['prev_treatments']]
+        if 'vitals' in batch:      # real-EHR encoder stream (edct.py)
+            parts.append(batch['vitals'])
+        parts.append(batch['prev_outputs'])
+        x = jnp.concatenate(parts, axis=-1)
         statics = jnp.repeat(batch['static_features'][:, None, :],
                              x.shape[1], axis=1)
         x = jnp.concatenate([x, statics], axis=-1)
@@ -161,11 +164,13 @@ class EDCT(CausalEstimator):
                       alpha=cfg.alpha, update_alpha=cfg.update_alpha,
                       weights_ema=cfg.weights_ema, beta=cfg.beta,
                       treatment_mode=cfg.treatment_mode)
-        self.encoder = _Stage(EDCTEncoderNetwork(cfg), _ENC_KEYS,
+        vit = ('vitals',) if getattr(dataset_collection, 'has_vitals',
+                                     False) else ()
+        self.encoder = _Stage(EDCTEncoderNetwork(cfg), _ENC_KEYS + vit,
                               TrainConfig(batch_size=cfg.enc_batch_size,
                                           learning_rate=cfg.enc_learning_rate,
                                           **common), cfg.seed,
-                              input_keys=_ENC_IN)
+                              input_keys=_ENC_IN + vit)
         self.decoder = _Stage(EDCTDecoderNetwork(cfg), _DEC_KEYS,
                               TrainConfig(batch_size=cfg.dec_batch_size,
                                           learning_rate=cfg.dec_learning_rate,

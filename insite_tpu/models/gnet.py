@@ -28,6 +28,12 @@ class GNetConfig:
     dim_treatments: int = 1
     dim_static_features: int = 2
     dim_outcome: int = 1
+    # vitals (real-EHR collections): the head predicts (outcomes, vitals)
+    # sequentially-conditioned components and rollouts feed sampled vitals
+    # back (reference gnet.py:64-66, 243-267)
+    dim_vitals: int = 0
+    fit_vitals: bool = True          # config/backbone/gnet.yaml:16
+    comp_sizes: tuple = None         # default (dim_outcome[, dim_vitals])
     seq_hidden_units: int = 24
     r_size: int = 3
     fc_hidden_units: int = 48
@@ -42,6 +48,14 @@ class GNetConfig:
     seed: int = 0
 
 
+def _comp_sizes(cfg: GNetConfig):
+    if cfg.comp_sizes is not None:
+        assert sum(cfg.comp_sizes) == cfg.dim_outcome + cfg.dim_vitals
+        return tuple(cfg.comp_sizes)
+    return ((cfg.dim_outcome, cfg.dim_vitals) if cfg.dim_vitals > 0
+            else (cfg.dim_outcome,))
+
+
 class GNetNetwork(nn.Module):
     cfg: GNetConfig
 
@@ -52,16 +66,21 @@ class GNetNetwork(nn.Module):
                             cfg.dropout_rate, name='repr_net')(x, None,
                                                                train)
         return ROutcomeVitalsHead(cfg.r_size, cfg.fc_hidden_units,
-                                  (cfg.dim_outcome,),
+                                  _comp_sizes(cfg),
                                   name='r_outcome_vitals_head')(h)
 
 
 def _inputs(data):
+    """(treatments, [vitals,] prev_outputs, statics) feature layout
+    (reference gnet.py:141-148)."""
     T = data['prev_outputs'].shape[1]
     statics = np.repeat(np.asarray(data['static_features'])[:, None, :], T,
                         axis=1)
-    return np.concatenate([data['current_treatments'],
-                           data['prev_outputs'], statics], axis=-1)
+    parts = [data['current_treatments']]
+    if 'vitals' in data:
+        parts.append(data['vitals'])
+    parts += [data['prev_outputs'], statics]
+    return np.concatenate(parts, axis=-1)
 
 
 def make_rollout_fn(net, cfg: GNetConfig):
@@ -69,10 +88,14 @@ def make_rollout_fn(net, cfg: GNetConfig):
     ``rollout(params, x, split, ridx, resid_bank, resid_len) ->
     [ph+1, rows, dim_outcome]``: scan over the horizon, each step one
     forward pass + noisy write-back into the prev_outputs feature slice.
-    Emits the CLEAN per-step outputs (reference records predictions before
-    residual injection, gnet.py:247-259).  Pure, so ``jax.vmap`` trains a
+    Emits the CLEAN per-step outcome outputs (reference records predictions
+    before residual injection, gnet.py:247-259).  With vitals, sampled
+    next-vitals are fed back into the vitals feature slice alongside the
+    outcome write-back (gnet.py:258-262).  Pure, so ``jax.vmap`` trains a
     whole seed column of rollouts in one dispatch."""
-    po = cfg.dim_treatments            # prev_outputs feature offset
+    dv = cfg.dim_vitals
+    vo = cfg.dim_treatments            # vitals feature offset
+    po = cfg.dim_treatments + dv       # prev_outputs feature offset
     do = cfg.dim_outcome
 
     def rollout(params, x, split, ridx, resid_bank, resid_len):
@@ -82,17 +105,22 @@ def make_rollout_fn(net, cfg: GNetConfig):
         def step(carry_x, scanned):
             t, ridx_t = scanned
             pred = net.apply({'params': params}, carry_x,
-                             False)[..., :do]
+                             False)[..., :do + dv]
             idx = split - 1 + t
-            out_t = pred[rows, idx]                       # [c, do]
+            out_t = pred[rows, idx]                       # [c, do+dv]
             rl = resid_len[ridx_t]
             resid = resid_bank[ridx_t, jnp.minimum(idx, rl - 1)]
             noisy = out_t + resid
             wt = jnp.minimum(split + t, T - 1)
-            cur = carry_x[rows, wt, po:po + do]
-            new = jnp.where(t < cfg.projection_horizon, noisy, cur)
-            carry_x = carry_x.at[rows, wt, po:po + do].set(new)
-            return carry_x, out_t
+            write = t < cfg.projection_horizon
+            cur_o = carry_x[rows, wt, po:po + do]
+            new_o = jnp.where(write, noisy[:, :do], cur_o)
+            carry_x = carry_x.at[rows, wt, po:po + do].set(new_o)
+            if dv > 0:
+                cur_v = carry_x[rows, wt, vo:vo + dv]
+                new_v = jnp.where(write, noisy[:, do:], cur_v)
+                carry_x = carry_x.at[rows, wt, vo:vo + dv].set(new_v)
+            return carry_x, out_t[:, :do]
 
         ph1 = cfg.projection_horizon + 1
         _, outs = jax.lax.scan(step, x, (jnp.arange(ph1), ridx))
@@ -124,28 +152,52 @@ class GNet(CausalEstimator):
         params = self.net.init({'params': init_rng, 'dropout': rng},
                                jnp.asarray(x[:2], jnp.float32),
                                False)['params']
+        has_vitals = cfg.dim_vitals > 0 and 'next_vitals' in data
         batch_data = {'x': jnp.asarray(x, jnp.float32),
                       'outputs': jnp.asarray(data['outputs'], jnp.float32),
                       'active_entries': jnp.asarray(data['active_entries'],
                                                     jnp.float32)}
+        if has_vitals:
+            batch_data['next_vitals'] = jnp.asarray(data['next_vitals'],
+                                                    jnp.float32)
 
         def loss_fn(p, batch, rngs):
             pred = self.net.apply({'params': p}, batch['x'], True,
                                   rngs=rngs)
             mse = (pred[..., :cfg.dim_outcome] - batch['outputs']) ** 2
-            return masked_mean(mse, batch['active_entries'])
+            loss = masked_mean(mse, batch['active_entries'])
+            if has_vitals and cfg.fit_vitals:
+                # next_vitals is one step shorter (gnet.py:157-168)
+                vp = pred[:, :-1, cfg.dim_outcome:cfg.dim_outcome +
+                          cfg.dim_vitals]
+                vmse = (vp - batch['next_vitals']) ** 2
+                loss = loss + masked_mean(vmse,
+                                          batch['active_entries'][:, 1:])
+            return loss
 
         tc = TrainConfig(cfg.epochs, cfg.batch_size, cfg.learning_rate)
         self.params = fit_simple(loss_fn, params, batch_data, tc, rng)
 
         # holdout residual distribution (gnet.py:180-202); with
-        # holdout_ratio <= 0 no split exists and rollouts run noise-free
+        # holdout_ratio <= 0 no split exists and rollouts run noise-free.
+        # With vitals the bank covers (outcomes, next_vitals) jointly, one
+        # step shorter (gnet.py:185-199)
         holdout = getattr(self.collection, 'train_f_holdout', None)
         if holdout is not None and len(holdout.data['outputs']):
-            preds = self._predict_data(holdout.data)
-            self.holdout_resid = np.asarray(holdout.data['outputs']) - preds
-            self.holdout_resid_len = \
-                holdout.data['sequence_lengths'].astype(int)
+            preds = self._predict_data(holdout.data,
+                                       vitals=has_vitals)
+            if has_vitals:
+                target = np.concatenate(
+                    [np.asarray(holdout.data['outputs'])[:, :-1],
+                     np.asarray(holdout.data['next_vitals'])], axis=-1)
+                self.holdout_resid = target - preds[:, :-1]
+                self.holdout_resid_len = \
+                    holdout.data['sequence_lengths'].astype(int) - 1
+            else:
+                self.holdout_resid = \
+                    np.asarray(holdout.data['outputs']) - preds
+                self.holdout_resid_len = \
+                    holdout.data['sequence_lengths'].astype(int)
         else:
             self.holdout_resid = self.holdout_resid_len = None
         return self
@@ -156,13 +208,15 @@ class GNet(CausalEstimator):
     # size so every dispatch shares one compiled shape.
     _PREDICT_CHUNK = 65536
 
-    def _predict_data(self, data):
+    def _predict_data(self, data, vitals=False):
+        out_dim = self.cfg.dim_outcome + \
+            (self.cfg.dim_vitals if vitals else 0)
         x = np.asarray(_inputs(data), np.float32)
         B, chunk = x.shape[0], self._PREDICT_CHUNK
         if B <= chunk:
             pred = self.net.apply({'params': self.params}, jnp.asarray(x),
                                   False)
-            return np.array(pred[..., :self.cfg.dim_outcome])
+            return np.array(pred[..., :out_dim])
         # keep per-chunk outputs on device, fetch once at the end (the
         # remote-TPU link stalls on loops of blocking np.asarray pulls —
         # CLAUDE.md; the sliced outputs are small, ~[B, T, dim_outcome])
@@ -175,7 +229,7 @@ class GNet(CausalEstimator):
                     [xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
             pred = self.net.apply({'params': self.params}, jnp.asarray(xb),
                                   False)
-            outs.append(pred[:chunk - pad, ..., :self.cfg.dim_outcome])
+            outs.append(pred[:chunk - pad, ..., :out_dim])
         return np.concatenate(jax.device_get(outs))
 
     def get_predictions(self, dataset) -> np.ndarray:
@@ -200,9 +254,12 @@ class GNet(CausalEstimator):
         rng = np.random.RandomState(cfg.seed)
         M = cfg.mc_samples
         n = len(datasets[0].data['prev_outputs'])
+        keys = ['prev_outputs', 'current_treatments', 'static_features',
+                'future_past_split']
+        if 'vitals' in datasets[0].data:
+            keys.append('vitals')
         flat = {k: np.concatenate([np.array(d.data[k]) for d in datasets])
-                for k in ('prev_outputs', 'current_treatments',
-                          'static_features', 'future_past_split')}
+                for k in keys}
         x = np.asarray(_inputs(flat), np.float32)
         split = flat['future_past_split'].astype(np.int32)
         B = M * n
@@ -216,7 +273,8 @@ class GNet(CausalEstimator):
             resid_len = jnp.asarray(self.holdout_resid_len, jnp.int32)
         else:
             ridx = np.zeros((ph + 1, B), np.int32)
-            resid_bank = jnp.zeros((1,) + x.shape[1:2] + (cfg.dim_outcome,),
+            resid_bank = jnp.zeros((1,) + x.shape[1:2] +
+                                   (cfg.dim_outcome + cfg.dim_vitals,),
                                    jnp.float32)
             resid_len = jnp.ones((1,), jnp.int32)
 

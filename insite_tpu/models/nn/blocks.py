@@ -423,10 +423,17 @@ class TransformerDecoderBlock(nn.Module):
 
 
 class TransformerMultiInputBlock(nn.Module):
-    """CT's per-block 2-stream (treatments / outcomes) self + cross
-    attention with static-stream injection before the FFNs
-    (utils_transformer.py:220-299; vitals stream omitted — none of the
-    benchmark datasets have vitals, config/dataset/*.yaml dim_vitals: 0)."""
+    """CT's per-block multi-stream (treatments / outcomes [/ vitals]) self
+    + cross attention with static-stream injection before the FFNs
+    (utils_transformer.py:220-321).
+
+    The 3-stream forward reproduces the reference's weight SHARING quirk
+    faithfully (utils_transformer.py:286-315): the vitals stream reuses
+    `self_attention_o` for its self-attention and the t/o cross-attention
+    modules for every vitals cross-attention (`cross_attention_to` for
+    t<-v and o<-v, `cross_attention_ot` for v<-t and v<-o) — the dedicated
+    tv/vt/ov/vo modules the reference constructs are dead parameters its
+    forward never calls, so they are not re-created here."""
 
     hidden: int
     attn_heads: int
@@ -439,9 +446,10 @@ class TransformerMultiInputBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x_t, x_o, x_s, active_entries, train: bool = False,
-                 rel_k=None, rel_v=None):
+                 rel_k=None, rel_v=None, x_v=None, active_vitals=None):
         T = x_t.shape[1]
-        mask = active_entries[:, None, None, :, 0] * jnp.ones((1, 1, T, 1))
+        ao = active_entries[..., 0]                        # [B, T]
+        mask = ao[:, None, None, :] * jnp.ones((1, 1, T, 1))
 
         def mha(name):
             return MultiHeadedAttention(
@@ -450,21 +458,54 @@ class TransformerMultiInputBlock(nn.Module):
                 rel_pos_v=rel_v is None,
                 max_relative_position=self.max_relative_position, name=name)
 
-        x_t_ = mha('self_attention_t')(x_t, x_t, x_t, mask, True, train,
-                                       rel_k, rel_v)
-        x_o_ = mha('self_attention_o')(x_o, x_o, x_o, mask, True, train,
-                                       rel_k, rel_v)
+        self_t = mha('self_attention_t')
+        self_o = mha('self_attention_o')
+        x_t_ = self_t(x_t, x_t, x_t, mask, True, train, rel_k, rel_v)
+        x_o_ = self_o(x_o, x_o, x_o, mask, True, train, rel_k, rel_v)
         if not self.disable_cross_attention:
-            x_to = mha('cross_attention_to')(x_t_, x_o, x_o, mask, True,
-                                             train, rel_k, rel_v)
-            x_ot = mha('cross_attention_ot')(x_o_, x_t, x_t, mask, True,
-                                             train, rel_k, rel_v)
+            cross_to = mha('cross_attention_to')
+            cross_ot = mha('cross_attention_ot')
+            x_to = cross_to(x_t_, x_o, x_o, mask, True, train, rel_k, rel_v)
+            x_ot = cross_ot(x_o_, x_t, x_t, mask, True, train, rel_k, rel_v)
         else:
             x_to, x_ot = x_t_, x_o_
+
+        if x_v is None:                                    # 2-stream CT
+            out_t = PositionwiseFeedForward(
+                self.hidden, self.feed_forward_hidden, self.dropout,
+                name='ff_t')(x_to + x_s, train)
+            out_o = PositionwiseFeedForward(
+                self.hidden, self.feed_forward_hidden, self.dropout,
+                name='ff_o')(x_ot + x_s, train)
+            return out_t, out_o
+
+        # ---- vitals stream (utils_transformer.py:302-321) ----------------
+        av = (active_vitals if active_vitals is not None
+              else active_entries)[..., 0]                 # [B, T]
+        mask_v = av[:, None, None, :] * jnp.ones((1, 1, T, 1))
+        # cross masks: query stream's activity x key stream's activity
+        mask_to_v = (ao[:, :, None] * av[:, None, :])[:, None]
+        mask_v_to = (av[:, :, None] * ao[:, None, :])[:, None]
+        x_v_ = self_o(x_v, x_v, x_v, mask_v, True, train, rel_k, rel_v)
+        if not self.disable_cross_attention:
+            x_tv = cross_to(x_t_, x_v, x_v, mask_to_v, True, train,
+                            rel_k, rel_v)
+            x_ov = cross_to(x_o_, x_v, x_v, mask_to_v, True, train,
+                            rel_k, rel_v)
+            x_vt = cross_ot(x_v_, x_t, x_t, mask_v_to, True, train,
+                            rel_k, rel_v)
+            x_vo = cross_ot(x_v_, x_o, x_o, mask_v_to, True, train,
+                            rel_k, rel_v)
+        else:
+            x_tv, x_ov, x_vo = 0.0, 0.0, 0.0
+            x_vt = x_v_
         out_t = PositionwiseFeedForward(
             self.hidden, self.feed_forward_hidden, self.dropout,
-            name='ff_t')(x_to + x_s, train)
+            name='ff_t')(x_to + x_tv + x_s, train)
         out_o = PositionwiseFeedForward(
             self.hidden, self.feed_forward_hidden, self.dropout,
-            name='ff_o')(x_ot + x_s, train)
-        return out_t, out_o
+            name='ff_o')(x_ot + x_ov + x_s, train)
+        out_v = PositionwiseFeedForward(
+            self.hidden, self.feed_forward_hidden, self.dropout,
+            name='ff_v')(x_vt + x_vo + x_s, train)
+        return out_t, out_o, out_v

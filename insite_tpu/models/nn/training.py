@@ -122,7 +122,8 @@ def make_batches(rng, n, batch_size):
 
 def make_br_train_fn(apply_fn: Callable, cfg: TrainConfig,
                      treatment_mask_tree,
-                     treatment_cfg: TrainConfig = None) -> Callable:
+                     treatment_cfg: TrainConfig = None,
+                     augment_fn: Callable = None) -> Callable:
     """Build the pure two-optimizer adversarial training program
     (time_varying_model.py:457-571) as ``run(params, data, rng) ->
     (params, ema_params)``.
@@ -184,8 +185,12 @@ def make_br_train_fn(apply_fn: Callable, cfg: TrainConfig,
 
             def one_batch(carry, idx):
                 p, s0, s1, ema, count, rng = carry
-                rng, r0, r1 = jax.random.split(rng, 3)
+                rng, r0, r1, r_aug = jax.random.split(rng, 4)
                 batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+                if augment_fn is not None:
+                    # e.g. CT masked-vitals augmentation (ct.py:116-126):
+                    # both optimizer losses see the augmented batch
+                    batch = augment_fn(batch, r_aug)
 
                 g0 = jax.grad(loss0)(p, ema, batch, alpha, {'dropout': r0})
                 upd0, s0 = opt0.update(g0, s0, p)
@@ -215,13 +220,14 @@ def make_br_train_fn(apply_fn: Callable, cfg: TrainConfig,
 
 
 def fit_br_model(apply_fn: Callable, params, data: dict, cfg: TrainConfig,
-                 treatment_mask_tree, rng, treatment_cfg: TrainConfig = None):
+                 treatment_mask_tree, rng, treatment_cfg: TrainConfig = None,
+                 augment_fn: Callable = None):
     """Single-seed two-optimizer adversarial fit; returns
     (params, ema_params) — prediction should use EMA weights for the
     non-treatment partition (predict_step, time_varying_model.py:599-608).
     """
     run = make_br_train_fn(apply_fn, cfg, treatment_mask_tree,
-                           treatment_cfg)
+                           treatment_cfg, augment_fn=augment_fn)
     return jax.jit(run)(params, data, rng)
 
 

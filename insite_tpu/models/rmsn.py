@@ -166,16 +166,23 @@ class RMSN(CausalEstimator):
         return np.asarray(data['prev_treatments'])
 
     def _propensity_inputs_hist(self, data):
+        # (prev_treatments, [vitals,] prev_outputs, statics) —
+        # rmsn.py:177-186
         T = data['prev_treatments'].shape[1]
-        return np.concatenate([data['prev_treatments'],
-                               data['prev_outputs'],
-                               _statics_expanded(data, T)], axis=-1)
+        parts = [data['prev_treatments']]
+        if 'vitals' in data:
+            parts.append(data['vitals'])
+        parts += [data['prev_outputs'], _statics_expanded(data, T)]
+        return np.concatenate(parts, axis=-1)
 
     def _encoder_inputs(self, data):
         T = data['prev_outputs'].shape[1]
-        return np.concatenate([data['prev_outputs'],
-                               data['current_treatments'],
-                               _statics_expanded(data, T)], axis=-1)
+        parts = []
+        if 'vitals' in data:
+            parts.append(data['vitals'])
+        parts += [data['prev_outputs'], data['current_treatments'],
+                  _statics_expanded(data, T)]
+        return np.concatenate(parts, axis=-1)
 
     def _decoder_inputs(self, data):
         T = data['prev_outputs'].shape[1]

@@ -2,6 +2,7 @@
 simulate->discover->fine-tune->evaluate pipeline vmapped into one program."""
 
 import numpy as np
+import pytest
 
 from insite_tpu.harness.vectorized import vectorized_eq4_sweep
 
@@ -136,6 +137,7 @@ def test_tumor_sweep_eq5_includes_dosage_covariate():
     assert np.all(r['global_coefs'][..., dose_cols] == 0.0)
 
 
+@pytest.mark.slow
 def test_vectorized_ct_sweep_mesh_matches_unsharded():
     """Seed-sharding the CT column over a 2-device mesh reproduces the
     single-device column: training programs are seed-independent, so the
@@ -154,6 +156,7 @@ def test_vectorized_ct_sweep_mesh_matches_unsharded():
         np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vectorized_enc_dec_sweep_smoke():
     """Whole CRN / EDCT seed columns as vmapped two-stage dispatches."""
     import numpy as np
@@ -172,6 +175,7 @@ def test_vectorized_enc_dec_sweep_smoke():
             assert (v < 50).all(), (method, k)
 
 
+@pytest.mark.slow
 def test_vectorized_rmsn_sweep_smoke():
     import numpy as np
     from insite_tpu.harness.vectorized_neural import vectorized_rmsn_sweep
@@ -184,6 +188,7 @@ def test_vectorized_rmsn_sweep_smoke():
         assert (v < 50).all(), k
 
 
+@pytest.mark.slow
 def test_vectorized_gnet_sweep_smoke():
     import numpy as np
     from insite_tpu.harness.vectorized_neural import vectorized_gnet_sweep
@@ -196,6 +201,7 @@ def test_vectorized_gnet_sweep_smoke():
         assert (v < 50).all(), k
 
 
+@pytest.mark.slow
 def test_vectorized_ct_sweep_smoke():
     """Whole CT seed column as one vmapped training dispatch: metric keys,
     per-seed values finite, magnitudes at the untrained-network level for
@@ -211,3 +217,35 @@ def test_vectorized_ct_sweep_smoke():
     for k, v in r.items():
         assert v.shape == (2,) and np.isfinite(v).all(), k
         assert (v < 50).all(), k
+
+
+@pytest.mark.slow
+def test_vectorized_ct_matches_standard_path():
+    """With the rng discipline aligned to CausalTransformer.fit, a
+    1-seed vectorized column reproduces the standard per-seed path (same
+    cohort, same init/training rngs; only vmap reduction order differs)."""
+    import numpy as np
+    from insite_tpu.data import make_collection
+    from insite_tpu.harness.vectorized_neural import vectorized_ct_sweep
+    from insite_tpu.models.ct import CTConfig, CausalTransformer
+
+    num_patients = {'train': 40, 'val': 8, 'test': 6}
+    r_vec = vectorized_ct_sweep('EQ_4_D', n_seeds=1,
+                                num_patients=num_patients, epochs=3,
+                                eval_chunk=64)
+    np.random.seed(0)
+    coll = make_collection('EQ_4_D', num_patients, 0, coeff=2.0,
+                           treatment_mode='multilabel')
+    coll.process_data_multi()
+    d = coll.train_f.data
+    cfg = CTConfig(epochs=3, seed=0, treatment_mode='multilabel',
+                   dim_outcome=d['outputs'].shape[-1],
+                   dim_treatments=d['current_treatments'].shape[-1],
+                   dim_static_features=d['static_features'].shape[-1])
+    m = CausalTransformer(cfg, coll).fit(coll.train_f)
+    o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
+                                           one_step_counterfactual=True)
+    np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][0], o,
+                               rtol=1e-3)
+    np.testing.assert_allclose(r_vec['encoder_test_rmse_last'][0], l,
+                               rtol=1e-3)

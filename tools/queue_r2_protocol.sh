@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-2 protocol queue, method-level: one run.py process per method
+# covers all its datasets (amortizes tunnel init + per-family compile
+# cache). 10 seeds x 100 epochs, vectorized columns; per-column fault
+# walls inside vectorized_sweep (--no-debug).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p logs/markers
+DS_ALL="cancer_sim EQ_5_A EQ_5_B EQ_5_C EQ_5_D EQ_4_A EQ_4_B EQ_4_C EQ_4_D"
+run_method() {  # method datasets... (vectorized)
+  local m="$1"; shift
+  local marker="logs/markers/r2m_${m}"
+  [ -f "$marker" ] && return 0
+  echo "[queue] $(date +%T) vectorized $m: $*" >> logs/queue_r2.log
+  if timeout 18000 python run.py --vectorized --methods "$m" \
+      --datasets "$@" --seeds 10 --epochs 100 --no-debug \
+      >> logs/queue_r2.log 2>&1; then
+    touch "$marker"
+  else
+    echo "[queue] $(date +%T) FAILED $m" >> logs/queue_r2.log
+  fi
+}
+# ct: EQ_5_B already done with the corrected rng (20:45 column)
+run_method ct cancer_sim EQ_5_A EQ_5_C EQ_5_D EQ_4_A EQ_4_B EQ_4_C EQ_4_D
+run_method crn $DS_ALL
+run_method gnet $DS_ALL
+run_method rmsn $DS_ALL
+run_method edct $DS_ALL
+echo "[queue] $(date +%T) standard msm + wsindy" >> logs/queue_r2.log
+if [ ! -f logs/markers/r2m_msm ]; then
+  timeout 14400 python run.py --methods msm --datasets $DS_ALL --seeds 10 \
+    --no-debug >> logs/queue_r2.log 2>&1 && touch logs/markers/r2m_msm
+fi
+if [ ! -f logs/markers/r2m_wsindy ]; then
+  timeout 14400 python run.py --methods wsindy \
+    --datasets EQ_4_A EQ_4_B EQ_4_C EQ_4_D --seeds 10 \
+    --no-debug >> logs/queue_r2.log 2>&1 && touch logs/markers/r2m_wsindy
+fi
+echo "[queue] $(date +%T) DONE" >> logs/queue_r2.log
