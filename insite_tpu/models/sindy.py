@@ -463,6 +463,15 @@ class SINDyRegressor(CausalEstimator):
 
         def solve(prev_c, statics_c, arms_c, lengths_c):
             if cfg.insite_solver == 'gauss_newton':
+                if self._use_pallas() and active_idx:
+                    # one fused rollout+sensitivity kernel per LM
+                    # iteration instead of jvp-through-scan
+                    return insite_gn_finetune_predict_pallas(
+                        self.library, coefs, prev_c, statics_c, arms_c,
+                        lengths_c, self.dt, lam=cfg.lam,
+                        projection_horizon=projection_horizon,
+                        gn_iters=cfg.gn_iters, y_clip=self._y_clip(),
+                        active_idx=active_idx)
                 return insite_gn_finetune_predict(
                     self.library, coefs, prev_c, statics_c, arms_c,
                     lengths_c, self.dt, lam=cfg.lam,
@@ -799,3 +808,97 @@ def insite_gn_finetune_predict(library, global_coefs, prev, statics, arms,
         return rollout(coefs_i), coefs_i
 
     return jax.vmap(finetune_row)(prev, statics, arms, lengths)
+
+
+@partial(jax.jit,
+         static_argnames=('library', 'dt', 'projection_horizon', 'gn_iters',
+                          'y_clip', 'active_idx', 'interpret'))
+def insite_gn_finetune_predict_pallas(library, global_coefs, prev, statics,
+                                      arms, lengths, dt, lam,
+                                      projection_horizon: int,
+                                      gn_iters: int = 12, y_clip=None,
+                                      active_idx=(), interpret=False):
+    """The Gauss-Newton INSITE fine-tune with the rollout + Jacobian of
+    every LM iteration computed by ONE Pallas kernel call
+    (`ops.pallas_rollout_with_sens` integrates the forward-sensitivity ODE
+    alongside the state).  Identical objective and deferred-acceptance
+    update sequence as `insite_gn_finetune_predict`; the per-row
+    skip/fallback semantics (rows with seq_len <= projection_horizon keep
+    the global model) are applied as batch masks.
+
+    gn_iters kernel calls + batched [B, Kr, Kr] solves replace XLA's
+    jvp-through-scan (hundreds of tiny sequential kernels per iteration).
+    """
+    from insite_tpu.ops.pallas_rollout import (pallas_batched_rollout,
+                                               pallas_rollout_with_sens)
+    A, F = global_coefs.shape
+    K = A * F
+    assert len(active_idx) > 0
+    act = jnp.asarray(active_idx, jnp.int32)
+    Kr = len(active_idx)
+    B, T = prev.shape
+    dtype = prev.dtype
+    sparse_flat = (jnp.abs(global_coefs) > 1e-3).astype(dtype).reshape(-1)
+    g_red = global_coefs.reshape(-1)[act]
+
+    ph = projection_horizon
+    prefix_mask = (jnp.arange(T - 1)[None, :] <
+                   (lengths - ph)[:, None]).astype(dtype)       # [B, T-1]
+    n_mask = jnp.maximum(prefix_mask.sum(1), 1.0)               # [B]
+    skip = (lengths <= ph)                                      # [B]
+    eye = jnp.eye(Kr, dtype=dtype)
+    reg2 = lam / K                                              # reg_scale^2
+
+    def to_full(c_red):                                         # [B, Kr]
+        c = jnp.zeros((B, K), dtype).at[:, act].set(c_red)
+        return (c * sparse_flat[None, :]).reshape(B, A, F)
+
+    def resid_jac(c_red):
+        y, s = pallas_rollout_with_sens(
+            library, to_full(c_red), prev[:, 0], statics, arms, dt,
+            tuple(active_idx), y_clip=y_clip, interpret=interpret)
+        r = jnp.where(prefix_mask > 0, prev[:, 1:] - y[:, :-1], 0.0)
+        J = jnp.where(prefix_mask[..., None] > 0, -s[:, :-1, :], 0.0)
+        return r, J
+
+    r0, J0 = resid_jac(jnp.broadcast_to(g_red, (B, Kr)))
+    mse0 = (r0 ** 2).sum(1) / n_mask
+    ds = 1.0 / jnp.sqrt(2.5 * jnp.maximum(mse0, 1e-30) * n_mask)   # [B]
+
+    def full_obj(r, c):
+        return ((r * ds[:, None]) ** 2).sum(1) + \
+            reg2 * ((c - g_red[None, :]) ** 2).sum(1)
+
+    def solve_step(r, J, c, mu):
+        Js = J * ds[:, None, None]
+        JtJ = jnp.einsum('btj,btk->bjk', Js, Js,
+                         precision='highest') + reg2 * eye[None]
+        rhs = -jnp.einsum('btj,bt->bj', Js, r * ds[:, None],
+                          precision='highest') \
+            - reg2 * (c - g_red[None, :])
+        delta = jnp.linalg.solve(JtJ + mu[:, None, None] * eye[None],
+                                 rhs[..., None])[..., 0]
+        return c + delta
+
+    c_best = jnp.broadcast_to(g_red, (B, Kr))
+    r_best, J_best = r0, J0
+    obj_best = full_obj(r0, c_best)
+    mu = jnp.full((B,), 1e-3, dtype)
+    cand = solve_step(r_best, J_best, c_best, mu)
+    for _ in range(gn_iters):
+        r_c, J_c = resid_jac(cand)
+        obj_c = full_obj(r_c, cand)
+        better = jnp.isfinite(obj_c) & (obj_c < obj_best)
+        c_best = jnp.where(better[:, None], cand, c_best)
+        obj_best = jnp.where(better, obj_c, obj_best)
+        r_best = jnp.where(better[:, None], r_c, r_best)
+        J_best = jnp.where(better[:, None, None], J_c, J_best)
+        mu = jnp.clip(jnp.where(better, mu * 0.3, mu * 10.0), 1e-8, 1e8)
+        cand = solve_step(r_best, J_best, c_best, mu)
+
+    coefs = jnp.where(skip[:, None], g_red[None, :], c_best)
+    coefs_full = to_full(coefs)
+    preds = pallas_batched_rollout(library, coefs_full, prev[:, 0], statics,
+                                   arms, dt, shared_coefs=False,
+                                   y_clip=y_clip, interpret=interpret)
+    return preds, coefs_full

@@ -218,6 +218,7 @@ def test_vectorized_confounding_sweep_rows():
     assert np.isfinite(sub.encoder_test_rmse_orig).all()
 
 
+@pytest.mark.slow
 def test_tune_neural_grid_end_to_end(monkeypatch):
     """--tune for a neural method: seeded subsampled grid search on val
     (the reference's Ray/Optuna finetune, time_varying_model.py:319-395),
