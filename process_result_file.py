@@ -1,8 +1,13 @@
-"""Regenerate the paper tables from a results log file (reference:
+"""Regenerate the paper tables from results log file(s) (reference:
 process_result_file.py:1-34 — the log lines are the results database).
 
 Usage:
-    python process_result_file.py logs/run-YYYYMMDD-HHMMSS.txt [--csv out.csv]
+    python process_result_file.py logs/run-*.txt [--csv out.csv]
+
+With several logs, rows are combined and de-duplicated per
+(dataset, method, seed, gamma), the LAST-given log winning — so
+`logs/run-*.txt` (lexicographic = chronological) keeps the newest run of
+every cell.
 """
 
 import argparse
@@ -13,8 +18,12 @@ from insite_tpu.harness.results import (df_from_log,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('log_path', help='sweep log containing '
+    p.add_argument('log_path', nargs='+', help='sweep log(s) containing '
                    '"[Exp evaluation complete] {...}" lines')
+    p.add_argument('--protocol', action='store_true',
+                   help='keep only main-table protocol rows: gamma == 2 '
+                        'and no noise_scale / train_samples override '
+                        'columns set')
     p.add_argument('--csv', default=None,
                    help='also dump the parsed runs DataFrame to CSV')
     p.add_argument('--std', action='store_true',
@@ -35,11 +44,28 @@ def main():
     args = p.parse_args()
 
     import os
-    if not os.path.exists(args.log_path):
-        raise SystemExit(f'log file not found: {args.log_path}')
-    df = df_from_log(args.log_path)
-    if df.empty:
+
+    import pandas as pd
+    frames = []
+    for path in args.log_path:
+        if not os.path.exists(path):
+            raise SystemExit(f'log file not found: {path}')
+        d = df_from_log(path)
+        if not d.empty:
+            frames.append(d)
+    if not frames:
         raise SystemExit(f'no completed runs found in {args.log_path}')
+    df = pd.concat(frames, ignore_index=True)
+    key = [c for c in ('dataset_name', 'method_name', 'seed', 'domain_conf',
+                       'noise_scale', 'train_samples') if c in df.columns]
+    df = df.drop_duplicates(subset=key, keep='last').reset_index(drop=True)
+    if args.protocol:
+        keep = df['domain_conf'].astype(float) == 2.0
+        if 'noise_scale' in df.columns:
+            keep &= df['noise_scale'].isna() | (df['noise_scale'] == 1.0)
+        if 'train_samples' in df.columns:      # LESS_SAMPLES override rows
+            keep &= df['train_samples'].isna()
+        df = df[keep].reset_index(drop=True)
     print(f'parsed {len(df)} completed runs '
           f'({df.dataset_name.nunique()} datasets x '
           f'{df.method_name.nunique()} methods)')
