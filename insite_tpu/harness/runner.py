@@ -512,6 +512,66 @@ def _vectorized_confounding_sweep(cfg: RunConfig, log=logger):
     return _results_df_and_tables(results)
 
 
+def _vectorized_grid_sweep(cfg: RunConfig, log=logger):
+    """INSIGHT_NOISE (EQ_4_B x noise_scale grid) and INSIGHT_LESS_SAMPLES
+    (EQ_4_D x train-cohort grid) as one vectorized 10-seed column per grid
+    point — same row schema as the standard sweep (noise_scale /
+    train_samples columns)."""
+    from insite_tpu.harness.vectorized import vectorized_eq4_sweep
+    noise_exp = cfg.experiment == 'INSIGHT_NOISE'
+    dataset = 'EQ_4_B' if noise_exp else 'EQ_4_D'
+    grid = cfg.noise_scales if noise_exp else cfg.train_sample_grid
+    grid_key = 'noise_scale' if noise_exp else 'train_samples'
+    results = []
+    for method_name in cfg.methods:
+        if method_name not in ('insite', 'sindy'):
+            log.warning(f'[vectorized] {cfg.experiment} has a vectorized '
+                        f'path for insite/sindy only; skipping '
+                        f'{method_name}')
+            continue
+        S = cfg.seed_runs
+        thr, lam = sindy_params_for(dataset)
+        for g in grid:
+            log.info(f'[Now evaluating exp] (vectorized {cfg.experiment}, '
+                     f'{dataset}, {method_name}, {grid_key}={g}, '
+                     f'{S} seeds)')
+            t0 = time.perf_counter()
+            try:
+                kw = dict(n_seeds=S, n_test=cfg.test_samples,
+                          conf_coeff=cfg.domain_conf, threshold=thr,
+                          alpha=SINDY_ALPHA, lam=lam, method=method_name)
+                if noise_exp:
+                    kw.update(n_train=cfg.train_samples,
+                              noise_scale=float(g))
+                else:
+                    kw.update(n_train=int(g))
+                r = vectorized_eq4_sweep(dataset, **kw)
+                secs = time.perf_counter() - t0
+                for s in range(S):
+                    row = {k: float(v[s]) for k, v in r.items()
+                           if isinstance(v, np.ndarray) and v.ndim == 1
+                           and len(v) == S}
+                    row.update({'method': method_name, 'seed': s,
+                                'seconds_taken': secs / S,
+                                'vectorized': True, 'errored': False,
+                                'dataset_name': dataset,
+                                'method_name': method_name,
+                                'domain_conf': cfg.domain_conf,
+                                grid_key: float(g)})
+                    log.info(f'[Exp evaluation complete] {row}')
+                    results.append(row)
+            except Exception as e:      # fault wall (run.py:159-169)
+                if cfg.debug_mode:
+                    raise
+                log.exception(f'[Error] {e}')
+                traceback.print_exc()
+                results.append({'errored': True, 'dataset_name': dataset,
+                                'method_name': method_name, 'seed': -1,
+                                'domain_conf': cfg.domain_conf,
+                                grid_key: float(g)})
+    return _results_df_and_tables(results)
+
+
 def vectorized_sweep(cfg: RunConfig, log=logger):
     """`run.py --vectorized`: each (dataset, method) benchmark column runs
     as ONE on-device multi-seed dispatch (harness/vectorized[_neural] —
@@ -527,6 +587,8 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
     """
     if cfg.experiment == 'INSIGHT_CONFOUNDING':
         return _vectorized_confounding_sweep(cfg, log)
+    if cfg.experiment in ('INSIGHT_NOISE', 'INSIGHT_LESS_SAMPLES'):
+        return _vectorized_grid_sweep(cfg, log)
     results = []
     for dataset_name in cfg.datasets:
         for method_name in cfg.methods:

@@ -34,7 +34,7 @@ from insite_tpu.sim import pkpd
 
 def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
               library, threshold, alpha, lam, insite, dt, gn_iters,
-              projection_horizon):
+              projection_horizon, noise_scale=1.0):
     """Pure per-seed pipeline; all shapes static across seeds."""
     add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
     from insite_tpu.core.dtypes import default_float
@@ -46,7 +46,7 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
         k, sub = jax.random.split(k)
         params = pkpd.get_standard_params(n, equation, sub)
         params = dict(params)
-        params['observation_noise'] = pkpd.OBSERVATION_NOISE
+        params['observation_noise'] = pkpd.OBSERVATION_NOISE * noise_scale
         params['sigmoid_intercept'] = MAX_VALUE / 2.0
         params['sigmoid_gamma'] = conf_coeff / MAX_VALUE
         k, sub = jax.random.split(k)
@@ -172,7 +172,7 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
                                    'projection_horizon'))
 def _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
                conf_coeff, threshold, alpha, lam, insite, gn_iters,
-               projection_horizon):
+               projection_horizon, noise_scale=1.0):
     equation = pkpd.Equation[equation_str]
     library = PolynomialLibrary(n_inputs=3)
     fn = partial(_one_seed, equation=equation, n_train=n_train,
@@ -180,7 +180,8 @@ def _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
                  conf_coeff=conf_coeff, library=library,
                  threshold=threshold, alpha=alpha, lam=lam, insite=insite,
                  dt=STANDARD_DT, gn_iters=gn_iters,
-                 projection_horizon=projection_horizon)
+                 projection_horizon=projection_horizon,
+                 noise_scale=noise_scale)
     return jax.vmap(fn)(keys)
 
 
@@ -190,7 +191,7 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
                          threshold: float = 0.1, alpha: float = 0.5,
                          lam: float = 10.0, method: str = 'insite',
                          gn_iters: int = 12, projection_horizon: int = 5,
-                         mesh=None) -> dict:
+                         mesh=None, noise_scale: float = 1.0) -> dict:
     """All seeds of one (EQ_4 dataset, method) benchmark cell in ONE
     dispatch. Returns per-seed arrays + mean/CI aggregates matching the
     log-table protocol.
@@ -214,7 +215,8 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
     out = _sweep_jit(
         keys, equation_str, n_train, n_test, seq_length,
         float(conf_coeff), float(threshold), float(alpha), float(lam),
-        method == 'insite', gn_iters, projection_horizon)
+        method == 'insite', gn_iters, projection_horizon,
+        noise_scale=float(noise_scale))
     rmse_orig, rmse_all, rmse_last, n_step, coefs = jax.device_get(out)
     from insite_tpu.harness.results import ci
     res = {

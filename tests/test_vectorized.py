@@ -249,3 +249,29 @@ def test_vectorized_ct_matches_standard_path():
                                rtol=1e-3)
     np.testing.assert_allclose(r_vec['encoder_test_rmse_last'][0], l,
                                rtol=1e-3)
+
+
+def test_vectorized_insight_grid_sweeps():
+    """INSIGHT_NOISE / INSIGHT_LESS_SAMPLES as vectorized 10-seed-style
+    columns per grid point (runner._vectorized_grid_sweep)."""
+    import logging
+    from insite_tpu.harness.config import RunConfig
+    from insite_tpu.harness.runner import _vectorized_grid_sweep
+
+    log = logging.getLogger('grid_test')
+    base = dict(methods=('sindy',), seed_runs=2, train_samples=60,
+                test_samples=8, debug_mode=True, metrics_jsonl='')
+    df_n, _ = _vectorized_grid_sweep(
+        RunConfig(experiment='INSIGHT_NOISE', noise_scales=(0.0, 2.0),
+                  **base), log)
+    assert len(df_n) == 4 and set(df_n['noise_scale']) == {0.0, 2.0}
+    assert np.isfinite(df_n['encoder_test_rmse_orig']).all()
+    # more observation noise -> worse discovery fit on average
+    g = df_n.groupby('noise_scale')['encoder_test_rmse_orig'].mean()
+    assert g[2.0] > g[0.0]
+
+    df_s, _ = _vectorized_grid_sweep(
+        RunConfig(experiment='INSIGHT_LESS_SAMPLES',
+                  train_sample_grid=(40, 80), **base), log)
+    assert len(df_s) == 4 and set(df_s['train_samples']) == {40.0, 80.0}
+    assert np.isfinite(df_s['encoder_test_rmse_orig']).all()

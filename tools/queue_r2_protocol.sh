@@ -7,10 +7,19 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/markers
 DS_ALL="cancer_sim EQ_5_A EQ_5_B EQ_5_C EQ_5_D EQ_4_A EQ_4_B EQ_4_C EQ_4_D"
+wait_tpu() {  # the axon tunnel serves one client; block until it answers
+  local tries=0
+  until timeout 420 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+    tries=$((tries+1))
+    echo "[queue] $(date +%T) tunnel busy (try $tries); waiting" >> logs/queue_r2.log
+    sleep 30
+  done
+}
 run_method() {  # method datasets... (vectorized)
   local m="$1"; shift
   local marker="logs/markers/r2m_${m}"
   [ -f "$marker" ] && return 0
+  wait_tpu
   echo "[queue] $(date +%T) vectorized $m: $*" >> logs/queue_r2.log
   if timeout 18000 python run.py --vectorized --methods "$m" \
       --datasets "$@" --seeds 10 --epochs 100 --no-debug \
