@@ -458,8 +458,8 @@ def _results_df_and_tables(results):
 
 
 # (dataset, method) columns the vectorized on-device paths cover
-VECTORIZED_METHODS = ('insite', 'sindy', 'ct', 'crn', 'edct', 'rmsn',
-                      'gnet')
+VECTORIZED_METHODS = ('insite', 'sindy', 'wsindy', 'ct', 'crn', 'edct',
+                      'rmsn', 'gnet')
 
 
 def _vectorized_confounding_sweep(cfg: RunConfig, log=logger):
@@ -629,6 +629,12 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
                             **kw)
                     seeds = range(cfg.seed_start, cfg.seed_start + S)
                 else:
+                    if method_name == 'wsindy' and \
+                            'EQ_4' not in dataset_name:
+                        log.warning('[vectorized] wsindy runs on the EQ_4 '
+                                    'family only (run.py:100-103); '
+                                    f'skipping {dataset_name}')
+                        continue
                     thr, lam = sindy_params_for(dataset_name)
                     if cfg.seed_start:
                         log.warning('[vectorized] ODE columns always run '

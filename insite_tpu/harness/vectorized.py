@@ -34,7 +34,7 @@ from insite_tpu.sim import pkpd
 
 def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
               library, threshold, alpha, lam, insite, dt, gn_iters,
-              projection_horizon, noise_scale=1.0):
+              projection_horizon, noise_scale=1.0, wsindy=False):
     """Pure per-seed pipeline; all shapes static across seeds."""
     add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
     from insite_tpu.core.dtypes import default_float
@@ -69,15 +69,26 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
                          params_t['observed_static_c_1']], axis=-1)
     arms = treatments[:, :-1].astype(jnp.int32)
     eff_len = jnp.maximum(lengths - 1, 2)
-    flat_theta, flat_y, flat_ok, flat_arm = _eq4_design(
-        volumes, statics, arms, eff_len, dt, library=library, joint=False,
-        smooth=True, fd_order=4)
-    coefs = []
-    for a in range(2):
-        w = (flat_ok & (flat_arm == a)).astype(flat_theta.dtype)
-        c, _ = stlsq(flat_theta, flat_y, threshold, alpha, sample_weight=w)
-        coefs.append(c)
-    coefs = jnp.stack(coefs)
+    if wsindy:
+        # weak-form discovery (models/sindy.py::_fit_weak, EQ_4 only)
+        from insite_tpu.discovery.wsindy import weak_sindy_fit
+        arm0 = arms[:, 0]
+        coefs = jnp.stack([
+            weak_sindy_fit(volumes, statics, eff_len, library, dt,
+                           threshold=threshold,
+                           trajectory_mask=(arm0 == a))
+            for a in range(2)])
+    else:
+        flat_theta, flat_y, flat_ok, flat_arm = _eq4_design(
+            volumes, statics, arms, eff_len, dt, library=library,
+            joint=False, smooth=True, fd_order=4)
+        coefs = []
+        for a in range(2):
+            w = (flat_ok & (flat_arm == a)).astype(flat_theta.dtype)
+            c, _ = stlsq(flat_theta, flat_y, threshold, alpha,
+                         sample_weight=w)
+            coefs.append(c)
+        coefs = jnp.stack(coefs)
 
     # ---- test: 1-step counterfactual rows + prediction + masked RMSE ----
     rows, actions, row_lengths, st0, st1 = cohort(n_test, 'cf_one_step')
@@ -169,10 +180,10 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
 
 @partial(jax.jit, static_argnames=('equation_str', 'n_train', 'n_test',
                                    'seq_length', 'insite', 'gn_iters',
-                                   'projection_horizon'))
+                                   'projection_horizon', 'wsindy'))
 def _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
                conf_coeff, threshold, alpha, lam, insite, gn_iters,
-               projection_horizon, noise_scale=1.0):
+               projection_horizon, noise_scale=1.0, wsindy=False):
     equation = pkpd.Equation[equation_str]
     library = PolynomialLibrary(n_inputs=3)
     fn = partial(_one_seed, equation=equation, n_train=n_train,
@@ -181,7 +192,7 @@ def _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
                  threshold=threshold, alpha=alpha, lam=lam, insite=insite,
                  dt=STANDARD_DT, gn_iters=gn_iters,
                  projection_horizon=projection_horizon,
-                 noise_scale=noise_scale)
+                 noise_scale=noise_scale, wsindy=wsindy)
     return jax.vmap(fn)(keys)
 
 
@@ -202,7 +213,7 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
     linearly over ICI. n_seeds must then be a multiple of the mesh size.
     """
     assert 'EQ_4' in equation_str
-    assert method in ('insite', 'sindy')
+    assert method in ('insite', 'sindy', 'wsindy')
     keys = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
     if mesh is not None:
         # shard the seed axis: each chip runs its seeds' whole pipelines
@@ -216,7 +227,7 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
         keys, equation_str, n_train, n_test, seq_length,
         float(conf_coeff), float(threshold), float(alpha), float(lam),
         method == 'insite', gn_iters, projection_horizon,
-        noise_scale=float(noise_scale))
+        noise_scale=float(noise_scale), wsindy=(method == 'wsindy'))
     rmse_orig, rmse_all, rmse_last, n_step, coefs = jax.device_get(out)
     from insite_tpu.harness.results import ci
     res = {

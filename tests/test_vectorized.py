@@ -275,3 +275,18 @@ def test_vectorized_insight_grid_sweeps():
                   train_sample_grid=(40, 80), **base), log)
     assert len(df_s) == 4 and set(df_s['train_samples']) == {40.0, 80.0}
     assert np.isfinite(df_s['encoder_test_rmse_orig']).all()
+
+
+def test_vectorized_wsindy_matches_standard():
+    """The vectorized weak-form column agrees with the standard-path
+    WSINDy at the same workload."""
+    from insite_tpu.harness.config import RunConfig
+    from insite_tpu.harness.runner import run_experiment
+    r_vec = vectorized_eq4_sweep('EQ_4_D', n_seeds=1, n_train=100,
+                                 n_test=10, method='wsindy')
+    assert np.isfinite(r_vec['encoder_test_rmse_orig']).all()
+    cfg = RunConfig(train_samples=100, val_samples=10, test_samples=10)
+    r_std = run_experiment('EQ_4_D', 'wsindy', seed=0, domain_conf=2.0,
+                           cfg=cfg)
+    np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][0],
+                               r_std['encoder_test_rmse_orig'], rtol=0.2)
