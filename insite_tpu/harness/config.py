@@ -50,6 +50,10 @@ class RunConfig:
     # neural: seeded grid_search over tuning.NEURAL_HPARAM_GRIDS
     tune_trials: int = 10        # neural trials subsampled from the grid
     # (the reference's OptunaSearch num_samples analog)
+    # 'grid' = flat seeded subsampled grid; 'sha' = adaptive successive
+    # halving (small epoch budgets first, survivors promoted — the
+    # OptunaSearch-with-pruning analog)
+    tune_algo: str = 'grid'
     # tuned model-hparam overlays (the reference's
     # `+backbone/<m>_hparams/<ds>_domain_conf/<coeff>.yaml` mechanics,
     # run.py:197-263 / config/backbone/): maps an overlay key to a dict of

@@ -203,9 +203,17 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
             m.fit(coll.train_f, coll.val_f)
             return m
 
-        best_params, model, _ = grid_search(
-            build_and_fit, NEURAL_HPARAM_GRIDS[method_name], coll.val_f,
-            n_trials=cfg.tune_trials, seed=seed)
+        if cfg.tune_algo == 'sha':
+            from insite_tpu.harness.tuning import successive_halving_search
+            best_params, model, _ = successive_halving_search(
+                build_and_fit, NEURAL_HPARAM_GRIDS[method_name],
+                coll.val_f, n_trials=cfg.tune_trials, seed=seed,
+                max_budget=cfg.epochs,
+                min_budget=max(1, cfg.epochs // 9))
+        else:
+            best_params, model, _ = grid_search(
+                build_and_fit, NEURAL_HPARAM_GRIDS[method_name],
+                coll.val_f, n_trials=cfg.tune_trials, seed=seed)
         results['tuned_hparams'] = best_params
     else:
         model = _build_model(method_name, dataset_name, coll, cfg,

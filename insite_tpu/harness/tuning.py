@@ -151,6 +151,66 @@ def grid_points(space: dict, n_trials=None, seed=0):
     return [full[i] for i in idx]
 
 
+def successive_halving_search(build_and_fit, space: dict, val_f,
+                              n_trials=16, seed=0, eta=3, min_budget=10,
+                              max_budget=100, budget_key='epochs',
+                              max_failures=3):
+    """ADAPTIVE budgeted search — the reference's OptunaSearch-with-pruning
+    analog (time_varying_model.py:339-384) without Ray: sample `n_trials`
+    configs from the grid, fit each at a small `budget_key` budget, keep
+    the top 1/eta by validation factual RMSE, multiply the budget by eta,
+    repeat until `max_budget` — so most of the compute goes to configs
+    that already proved themselves, unlike a flat grid.
+
+    `build_and_fit(params)` receives the trial params WITH the current
+    budget under `budget_key` (every neural model config has an `epochs`
+    field). Returns (best_params, best_model, trials); best_model is
+    trained at the full `max_budget`.
+    """
+    configs = grid_points(space, n_trials, seed)
+    budget, rung, trials = min_budget, 0, []
+    while True:
+        scored = []
+        for params in configs:
+            p = {**params, budget_key: int(budget)}
+            model, rmse = None, None
+            for attempt in range(max_failures):
+                try:
+                    model = build_and_fit(dict(p))
+                    _, rmse = model.get_normalised_masked_rmse(val_f)
+                    break
+                except Exception:
+                    logger.warning(f'[sha] trial {p} attempt '
+                                   f'{attempt + 1} failed:\n'
+                                   f'{traceback.format_exc()}')
+                    model, rmse = None, None
+            trials.append({**p, 'rung': rung, 'val_rmse_all': rmse})
+            logger.info(f'[sha] rung {rung} ({budget} {budget_key}) '
+                        f'{params} -> val_rmse_all={rmse}')
+            if rmse is not None:
+                scored.append((rmse, params, model))
+        if not scored:
+            raise RuntimeError('successive_halving_search: every trial in '
+                               f'rung {rung} errored')
+        scored.sort(key=lambda t: t[0])
+        if budget >= max_budget or len(scored) == 1:
+            if budget < max_budget:      # lone survivor: refit at full
+                p = {**scored[0][1], budget_key: int(max_budget)}
+                model = build_and_fit(dict(p))
+                _, rmse = model.get_normalised_masked_rmse(val_f)
+                scored = [(rmse, scored[0][1], model)]
+                trials.append({**p, 'rung': rung + 1,
+                               'val_rmse_all': rmse})
+            best = scored[0]
+            logger.info(f'[sha] best {best[1]} '
+                        f'(val_rmse_all={best[0]:.4f})')
+            return dict(best[1]), best[2], trials
+        keep = max(1, len(scored) // eta)
+        configs = [p for _, p, _ in scored[:keep]]
+        budget = min(max_budget, budget * eta)
+        rung += 1
+
+
 def grid_search(build_and_fit, space: dict, val_f, n_trials=None, seed=0,
                 max_failures=3):
     """Sequential seeded search over `space`.

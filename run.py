@@ -42,6 +42,10 @@ def main():
     p.add_argument('--tune', action='store_true',
                    help='hparam tuning on val (insite: vmapped lam-grid; '
                         'neural: seeded grid search, --tune-trials each)')
+    p.add_argument('--tune-algo', choices=('grid', 'sha'), default=None,
+                   help='neural tuner: flat seeded grid (default) or '
+                        'adaptive successive halving (small epoch budgets '
+                        'first, survivors promoted)')
     p.add_argument('--tune-trials', type=int, default=None,
                    help='neural tuning trials subsampled from the grid')
     p.add_argument('--vectorized', action='store_true',
@@ -83,6 +87,8 @@ def main():
         cfg.tune_hparams = True
     if args.tune_trials is not None:
         cfg.tune_trials = args.tune_trials
+    if args.tune_algo is not None:
+        cfg.tune_algo = args.tune_algo
     if args.isolate:
         cfg.isolate_runs = True
         # isolation is pointless if the first child failure re-raises:

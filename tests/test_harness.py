@@ -302,3 +302,37 @@ def test_paper_format_table():
     t2 = ode_only['decoder_test_rmse_6-step']
     assert 'LTE' not in t2
     assert r'\multirow{1}{*}{\rotatebox{90}{\bf ODE-D}}' in t2
+
+
+def test_successive_halving_search_promotes_survivors():
+    """The adaptive tuner spends most budget on configs that win early
+    rungs, and the returned model is trained at the full budget."""
+    from insite_tpu.harness.tuning import successive_halving_search
+
+    fitted = []
+
+    class _Stub:
+        def __init__(self, params):
+            self.params = params
+
+        def get_normalised_masked_rmse(self, val_f):
+            # config quality = |x - 3|; more epochs always helps a bit
+            p = self.params
+            return 0.0, abs(p['x'] - 3) + 10.0 / p['epochs']
+
+    def build_and_fit(params):
+        fitted.append(dict(params))
+        return _Stub(params)
+
+    space = {'x': [0, 1, 2, 3, 4, 5]}
+    best, model, trials = successive_halving_search(
+        build_and_fit, space, val_f=None, n_trials=6, eta=3,
+        min_budget=4, max_budget=36)
+    assert best == {'x': 3}
+    assert model.params['epochs'] == 36      # winner refit at full budget
+    budgets = sorted({f['epochs'] for f in fitted})
+    assert budgets == [4, 12, 36]            # geometric rungs
+    # rung sizes shrink: 6 -> 2 -> 1
+    from collections import Counter
+    c = Counter(f['epochs'] for f in fitted)
+    assert c[4] == 6 and c[12] == 2 and c[36] == 1
