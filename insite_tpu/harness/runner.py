@@ -269,6 +269,23 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
     return results
 
 
+def _sweep_fingerprint(cfg: RunConfig, experiment_name: str) -> dict:
+    return {
+        'experiment': experiment_name, 'epochs': cfg.epochs,
+        'train_samples': cfg.train_samples, 'val_samples': cfg.val_samples,
+        'test_samples': cfg.test_samples, 'cf_seq_mode': cfg.cf_seq_mode,
+        'noise_scale': cfg.noise_scale, 'tune_hparams': cfg.tune_hparams,
+        'model_overrides': cfg.model_overrides or {},
+    }
+
+
+def _log_fingerprint(cfg: RunConfig, experiment_name: str, log):
+    import json
+    log.info('[Sweep config] ' +
+             json.dumps(_sweep_fingerprint(cfg, experiment_name),
+                        sort_keys=True))
+
+
 def _read_sweep_fingerprint(log_path: str):
     """Last '[Sweep config] {json}' line of a sweep log, or None for logs
     written before fingerprinting existed."""
@@ -348,13 +365,7 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
     # config fingerprint logged into every sweep log: resume compares it so
     # rows computed under different settings (e.g. a --flush smoke run) are
     # never silently reused as this sweep's results
-    fingerprint = {
-        'experiment': experiment.name, 'epochs': cfg.epochs,
-        'train_samples': cfg.train_samples, 'val_samples': cfg.val_samples,
-        'test_samples': cfg.test_samples, 'cf_seq_mode': cfg.cf_seq_mode,
-        'noise_scale': cfg.noise_scale, 'tune_hparams': cfg.tune_hparams,
-        'model_overrides': cfg.model_overrides or {},
-    }
+    fingerprint = _sweep_fingerprint(cfg, experiment.name)
     import json
     # read the resumed log's fingerprint BEFORE logging ours: resuming into
     # the same log file must not see its own fingerprint as the previous one
@@ -593,6 +604,7 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
     (gamma, seed) grid runs via `vectorized_confounding_sweep` (one
     compiled program reused across gammas).
     """
+    _log_fingerprint(cfg, cfg.experiment, log)
     if cfg.experiment == 'INSIGHT_CONFOUNDING':
         return _vectorized_confounding_sweep(cfg, log)
     if cfg.experiment in ('INSIGHT_NOISE', 'INSIGHT_LESS_SAMPLES'):

@@ -46,10 +46,23 @@ def main():
     import os
 
     import pandas as pd
+    from insite_tpu.harness.runner import _read_sweep_fingerprint
+    PROTOCOL = {'epochs': 100, 'train_samples': 1000, 'val_samples': 100,
+                'test_samples': 100}
     frames = []
     for path in args.log_path:
         if not os.path.exists(path):
             raise SystemExit(f'log file not found: {path}')
+        if args.protocol:
+            fp = _read_sweep_fingerprint(path)
+            if fp is not None and any(fp.get(k) != v
+                                      for k, v in PROTOCOL.items()):
+                print(f'[protocol] skipping {path}: sweep config '
+                      f'{ {k: fp.get(k) for k in PROTOCOL} }')
+                continue
+            if fp is None:
+                print(f'[protocol] {path}: no [Sweep config] fingerprint '
+                      f'(pre-fingerprint log) — rows kept unverified')
         d = df_from_log(path)
         if not d.empty:
             frames.append(d)
