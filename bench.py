@@ -54,6 +54,20 @@ def warmup():
 
 def main():
     n_train = int(os.environ.get("BENCH_PATIENTS", 10_000))
+    # the remote-TPU tunnel can go UNAVAILABLE and block jax.devices()
+    # indefinitely; fail loudly instead of hanging the driver
+    import threading
+    budget = float(os.environ.get("BENCH_TIMEOUT_S", 1800))
+
+    def _deadline():
+        print(f"[bench] TIMEOUT after {budget:.0f}s (TPU tunnel "
+              f"unavailable or stalled) — aborting", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+
+    killer = threading.Timer(budget, _deadline)
+    killer.daemon = True
+    killer.start()
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
     warmup()
