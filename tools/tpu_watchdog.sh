@@ -4,7 +4,7 @@
 set -u
 cd "$(dirname "$0")/.."
 while true; do
-  if timeout 75 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+  if timeout 360 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     echo "[watchdog] $(date +%T) tunnel back; starting queue" >> logs/queue_r2.log
     nohup bash tools/queue_r2_protocol.sh > /dev/null 2>&1 &
     echo $! > /tmp/queue_r2.pid
