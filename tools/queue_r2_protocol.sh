@@ -45,4 +45,18 @@ if [ ! -f logs/markers/r2m_wsindy ]; then
     --datasets EQ_4_A EQ_4_B EQ_4_C EQ_4_D --seeds 10 \
     --no-debug >> logs/queue_r2.log 2>&1 && touch logs/markers/r2m_wsindy
 fi
+# 10-seed INSIGHT grids (VERDICT weak #3), one vectorized dispatch per
+# grid point
+if [ ! -f logs/markers/r2m_insight_noise ]; then
+  wait_tpu
+  timeout 7200 python run.py --vectorized --experiment INSIGHT_NOISE \
+    --methods insite sindy --seeds 10 --no-debug \
+    >> logs/queue_r2.log 2>&1 && touch logs/markers/r2m_insight_noise
+fi
+if [ ! -f logs/markers/r2m_insight_less ]; then
+  wait_tpu
+  timeout 7200 python run.py --vectorized --experiment INSIGHT_LESS_SAMPLES \
+    --methods insite sindy --seeds 10 --no-debug \
+    >> logs/queue_r2.log 2>&1 && touch logs/markers/r2m_insight_less
+fi
 echo "[queue] $(date +%T) DONE" >> logs/queue_r2.log
