@@ -235,6 +235,20 @@ class CausalTransformer(CausalEstimator):
                                None, False)
         return np.asarray(br)
 
+    def get_attention_maps(self, dataset) -> dict:
+        """Per-module attention maps {module_path: [B, heads, Tq, Tk]} —
+        the reference's CT.visualize hook targets (ct.py:205-216:
+        self/cross attentions of every block, incl. the vitals stream's
+        shared modules) via flax's 'intermediates' collection."""
+        from flax.traverse_util import flatten_dict
+        batch = _device_batch(dataset.data)
+        _, state = self.net.apply(
+            {'params': self._predict_params()}, batch, 0.0, False, False,
+            mutable=['intermediates'])
+        flat = flatten_dict(state['intermediates'])
+        return {'/'.join(p[:-1]): np.asarray(v[0])
+                for p, v in flat.items() if p[-1] == 'attention'}
+
     def get_autoregressive_predictions(self, dataset) -> np.ndarray:
         """Iterative multi-step: write predictions into prev_outputs at the
         rolling origin (ct.py:187-203)."""

@@ -234,3 +234,24 @@ def test_torch_parity_init():
     lb = 1.0 / np.sqrt(16)
     for k in ('w_ih_0', 'w_hh_0', 'b_0', 'b_hh_0'):
         assert np.abs(np.asarray(lp[k])).max() <= lb
+
+
+def test_ct_attention_maps():
+    """CT attention-map extraction (the reference's CT.visualize hook
+    targets, ct.py:205-216): one [B, heads, T, T] map per attention
+    module of every block."""
+    coll = make_coll()
+    coll.process_data_multi()
+    from insite_tpu.models.ct import CTConfig, CausalTransformer
+    cfg = CTConfig(epochs=1, seed=0, treatment_mode='multilabel',
+                   **dims(coll))
+    m = CausalTransformer(cfg, coll).fit(coll.train_f)
+    maps = m.get_attention_maps(coll.test_cf_one_step)
+    names = ' '.join(maps)
+    for key in ('self_attention_t', 'self_attention_o',
+                'cross_attention_to', 'cross_attention_ot'):
+        assert key in names, key
+    n = len(coll.test_cf_one_step.data['outputs'])
+    for k, v in maps.items():
+        assert v.shape[0] == n and v.shape[1] == cfg.num_heads, (k, v.shape)
+        assert v.shape[2] == v.shape[3]
