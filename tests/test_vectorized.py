@@ -374,3 +374,36 @@ def test_vectorized_crn_matches_standard_path():
         m.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
     np.testing.assert_allclose(r_vec['decoder_test_rmse_6-step'][0],
                                n_step[-1], rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_vectorized_edct_matches_standard_path():
+    """1-seed vectorized EDCT column reproduces the standard per-seed
+    path (incl. the per-row encoder_r gather for decoder training)."""
+    import numpy as np
+    from insite_tpu.data import make_collection
+    from insite_tpu.harness.vectorized_neural import vectorized_enc_dec_sweep
+    from insite_tpu.models.edct import EDCT, EDCTConfig
+
+    num_patients = {'train': 40, 'val': 8, 'test': 6}
+    r_vec = vectorized_enc_dec_sweep('edct', 'EQ_4_D', n_seeds=1,
+                                     num_patients=num_patients, epochs=2,
+                                     eval_chunk=64)
+    np.random.seed(0)
+    coll = make_collection('EQ_4_D', num_patients, 0, coeff=2.0,
+                           treatment_mode='multilabel')
+    coll.process_data_encoder()
+    d = coll.train_f.data
+    cfg = EDCTConfig(epochs=2, seed=0, treatment_mode='multilabel',
+                     dim_outcome=d['outputs'].shape[-1],
+                     dim_treatments=d['current_treatments'].shape[-1],
+                     dim_static_features=d['static_features'].shape[-1])
+    m = EDCT(cfg, coll).fit()
+    o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
+                                           one_step_counterfactual=True)
+    np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][0], o,
+                               rtol=1e-3)
+    n_step = np.asarray(
+        m.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
+    np.testing.assert_allclose(r_vec['decoder_test_rmse_6-step'][0],
+                               n_step[-1], rtol=1e-3)
