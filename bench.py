@@ -12,7 +12,7 @@ vs_baseline > 1.0 means faster than the 60 s target.
 import json
 import os
 import sys
-from time import time
+from time import sleep, time
 
 # repo-local persistent compilation cache: the XLA programs (notably the
 # jacfwd-through-scan Gauss-Newton fine-tune) compile in minutes but run in
@@ -52,10 +52,44 @@ def warmup():
           f"compiles): {time() - t0:.2f}s", file=sys.stderr)
 
 
+def wait_for_backend():
+    """Bounded wait for the remote-TPU tunnel: a transient outage (or a
+    sweep holding the single-client tunnel) must not zero a round's perf
+    evidence. Probes in a SUBPROCESS so a failed backend init can't be
+    cached by this process's jax, and a wedged probe can be timed out."""
+    import subprocess
+    wait_budget = float(os.environ.get("BENCH_WAIT_S", 7200))
+    deadline = time() + wait_budget
+    tries = 0
+    while True:
+        tries += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=420, capture_output=True)
+            if r.returncode == 0:
+                if tries > 1:
+                    print(f"[bench] backend answered on probe {tries}",
+                          file=sys.stderr, flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time() >= deadline:
+            print(f"[bench] backend unavailable after {wait_budget:.0f}s "
+                  f"({tries} probes) — aborting", file=sys.stderr,
+                  flush=True)
+            sys.exit(3)
+        print(f"[bench] backend unavailable/busy (probe {tries}); "
+              f"retrying in 60s", file=sys.stderr, flush=True)
+        sleep(60)
+
+
 def main():
     n_train = int(os.environ.get("BENCH_PATIENTS", 10_000))
-    # the remote-TPU tunnel can go UNAVAILABLE and block jax.devices()
-    # indefinitely; fail loudly instead of hanging the driver
+    wait_for_backend()
+    # the tunnel can still wedge between the probe and our first transfer;
+    # guard ONLY the stall-prone init+warmup phase with a hard deadline —
+    # the timed benchmark itself must not be killed mid-compile
     import threading
     budget = float(os.environ.get("BENCH_TIMEOUT_S", 1800))
 
@@ -71,6 +105,7 @@ def main():
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
     warmup()
+    killer.cancel()
 
     t0 = time()
     # --- simulate the cohort (10k factual + small val/test) ---------------

@@ -239,6 +239,11 @@ def run_experiment(dataset_name: str, method_name: str, seed: int,
     if hasattr(model, 'global_equation_string'):
         results['global_equation_string'] = model.global_equation_string
         results['fine_tuned'] = getattr(model, 'insite', False)
+    if method_name == 'rmsn':
+        # VERDICT r2: every rmsn row must say which stabilized-weight
+        # formula it ran (shipped default 'likelihood' vs the reference's
+        # 'score_ratio' parity mode) — the two differ by ~4x on EQ_4
+        results['sw_mode'] = model.cfg.sw_mode
     if experiment == Experiment.INSIGHT_RECOVER_PARAMETRIC_DIST and \
             method_name == 'insite':
         # per-patient coefficient distribution on the validation cohort
@@ -286,12 +291,15 @@ def _log_fingerprint(cfg: RunConfig, experiment_name: str, log):
                         sort_keys=True))
 
 
-def _read_sweep_fingerprint(log_path: str):
-    """Last '[Sweep config] {json}' line of a sweep log, or None for logs
-    written before fingerprinting existed."""
+def _read_sweep_fingerprints(log_path: str):
+    """ALL '[Sweep config] {json}' lines of a sweep log (a log file can
+    accumulate several appended sweeps, each writing rows under its own
+    config); [] for logs written before fingerprinting existed. Resume
+    must verify EVERY fingerprint in the log — trusting only the last one
+    would reuse rows written under an earlier, different config."""
     import json
     tag = '[Sweep config] '
-    fp = None
+    fps = []
     try:
         with open(log_path) as f:
             for line in f:
@@ -299,10 +307,12 @@ def _read_sweep_fingerprint(log_path: str):
                     try:
                         fp = json.loads(line.split(tag, 1)[1])
                     except json.JSONDecodeError:
-                        pass
+                        continue
+                    if fp not in fps:
+                        fps.append(fp)
     except OSError:
-        return None
-    return fp
+        return []
+    return fps
 
 
 def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
@@ -367,10 +377,10 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
     # never silently reused as this sweep's results
     fingerprint = _sweep_fingerprint(cfg, experiment.name)
     import json
-    # read the resumed log's fingerprint BEFORE logging ours: resuming into
-    # the same log file must not see its own fingerprint as the previous one
-    prev_fp = _read_sweep_fingerprint(cfg.resume_log) if cfg.resume_log \
-        else None
+    # read the resumed log's fingerprints BEFORE logging ours: resuming
+    # into the same log file must not see its own fingerprint as previous
+    prev_fps = _read_sweep_fingerprints(cfg.resume_log) if cfg.resume_log \
+        else []
     log.info(f'[Sweep config] {json.dumps(fingerprint, sort_keys=True)}')
 
     # sweep resume: reuse completed rows from a previous log, skip their
@@ -385,25 +395,26 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
                 (k, float(v)) for k, v in overrides.items()))
             return (ds, method, int(seed), float(gamma), extra)
 
-        fp_mismatch = []
-        if prev_fp is not None:
-            # override-swept fields (noise_scale, train_samples) live in the
-            # per-row resume key, so a grid difference is fine; everything
-            # else must match exactly
-            skip = {'noise_scale', 'train_samples'} \
-                if experiment.name.startswith('INSIGHT_') else set()
-            fp_mismatch = [k for k in fingerprint
-                           if k not in skip
-                           and prev_fp.get(k) != fingerprint[k]]
-        if prev_fp is None:
+        # override-swept fields (noise_scale, train_samples) live in the
+        # per-row resume key, so a grid difference is fine; everything
+        # else must match exactly — against EVERY fingerprint in the log,
+        # since any of them may have written rows we would reuse
+        skip = {'noise_scale', 'train_samples'} \
+            if experiment.name.startswith('INSIGHT_') else set()
+        fp_mismatch = {}
+        for prev_fp in prev_fps:
+            for k in fingerprint:
+                if k not in skip and prev_fp.get(k) != fingerprint[k]:
+                    fp_mismatch[k] = prev_fp.get(k)
+        if not prev_fps:
             log.warning(f'[Resume] {cfg.resume_log} carries no '
                         f'[Sweep config] fingerprint (pre-fingerprint log); '
                         f'reusing rows WITHOUT config verification')
         if fp_mismatch:
             log.warning(
                 f'[Resume] REFUSING to reuse rows from {cfg.resume_log}: '
-                f'its sweep config differs on {fp_mismatch} '
-                f'(theirs={ {k: prev_fp.get(k) for k in fp_mismatch} } '
+                f'one of its {len(prev_fps)} sweep config(s) differs on '
+                f'{sorted(fp_mismatch)} (theirs={fp_mismatch} '
                 f'vs ours={ {k: fingerprint[k] for k in fp_mismatch} }); '
                 f'all runs will execute fresh')
         else:
@@ -690,6 +701,10 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
                                 'dataset_name': dataset_name,
                                 'method_name': method_name,
                                 'domain_conf': cfg.domain_conf})
+                    if method_name == 'rmsn':
+                        row['sw_mode'] = kw['model_overrides'].get(
+                            'sw_mode', 'likelihood') \
+                            if kw.get('model_overrides') else 'likelihood'
                     log.info(f'[Exp evaluation complete] {row}')
                     results.append(row)
             except Exception as e:      # fault wall (run.py:159-169)

@@ -89,7 +89,10 @@ def merge_by_mask(a, b, mask_tree):
 
 
 def masked_mean(x, active):
-    return (x * active).sum() / active.sum()
+    # guard against all-padding batches (vectorized seed columns zero-pad
+    # short seeds' rows; a shuffled batch can be pure padding): 0/0 -> NaN
+    # would silently poison that seed's parameters for the rest of training
+    return (x * active).sum() / jnp.maximum(active.sum(), 1.0)
 
 
 def br_losses(treatment_pred, outcome_pred, batch, alpha, balancing,

@@ -898,6 +898,12 @@ def insite_gn_finetune_predict_pallas(library, global_coefs, prev, statics,
 
     coefs = jnp.where(skip[:, None], g_red[None, :], c_best)
     coefs_full = to_full(coefs)
+    # skip rows must roll out the FULL unmasked global model to match the
+    # XLA path's lax.cond skip branch exactly (to_full drops |coef|<=1e-3
+    # entries, a divergence whenever the global fit retains sub-threshold
+    # coefficients)
+    coefs_full = jnp.where(skip[:, None, None],
+                           global_coefs[None].astype(dtype), coefs_full)
     preds = pallas_batched_rollout(library, coefs_full, prev[:, 0], statics,
                                    arms, dt, shared_coefs=False,
                                    y_clip=y_clip, interpret=interpret)

@@ -46,7 +46,7 @@ def main():
     import os
 
     import pandas as pd
-    from insite_tpu.harness.runner import _read_sweep_fingerprint
+    from insite_tpu.harness.runner import _read_sweep_fingerprints
     PROTOCOL = {'epochs': 100, 'train_samples': 1000, 'val_samples': 100,
                 'test_samples': 100}
     frames = []
@@ -54,13 +54,17 @@ def main():
         if not os.path.exists(path):
             raise SystemExit(f'log file not found: {path}')
         if args.protocol:
-            fp = _read_sweep_fingerprint(path)
-            if fp is not None and any(fp.get(k) != v
-                                      for k, v in PROTOCOL.items()):
-                print(f'[protocol] skipping {path}: sweep config '
-                      f'{ {k: fp.get(k) for k in PROTOCOL} }')
+            fps = _read_sweep_fingerprints(path)
+            bad = [fp for fp in fps
+                   if any(fp.get(k) != v for k, v in PROTOCOL.items())]
+            if bad:
+                # a log can hold several appended sweeps; any off-protocol
+                # fingerprint means some rows in it are off-protocol
+                print(f'[protocol] skipping {path}: {len(bad)} of '
+                      f'{len(fps)} sweep config(s) off-protocol, e.g. '
+                      f'{ {k: bad[0].get(k) for k in PROTOCOL} }')
                 continue
-            if fp is None:
+            if not fps:
                 print(f'[protocol] {path}: no [Sweep config] fingerprint '
                       f'(pre-fingerprint log) — rows kept unverified')
         d = df_from_log(path)

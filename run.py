@@ -59,7 +59,18 @@ def main():
     p.add_argument('--resume', default=None, metavar='LOG',
                    help='reuse completed runs from a previous sweep log '
                         'and run only the rest')
+    p.add_argument('--platform', default=None, choices=('cpu', 'tpu'),
+                   help='force the jax backend: "cpu" runs the sweep on '
+                        'the host (f32, single device) without touching '
+                        'the single-client TPU tunnel — safe to run in '
+                        'parallel with a TPU job')
     args = p.parse_args()
+    if args.platform == 'cpu':
+        # must flip the already-imported jax config: the container's
+        # sitecustomize registers the remote-TPU plugin at startup, so
+        # JAX_PLATFORMS=cpu in the environment is not honored
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     cfg = (RunConfig.from_yaml(args.config) if args.config else RunConfig())
     if args.methods:
@@ -99,7 +110,8 @@ def main():
 
     log_path = generate_log_file_path('run', cfg.log_dir)
     logger = create_logger_in_process(log_path)
-    logger.info(f'Starting sweep | log at {log_path}')
+    logger.info(f'Starting sweep | log at {log_path}'
+                + (f' | platform={args.platform}' if args.platform else ''))
     if args.vectorized:
         from insite_tpu.harness.runner import vectorized_sweep
         df, tables = vectorized_sweep(cfg, log=logger)

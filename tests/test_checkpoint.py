@@ -160,6 +160,54 @@ def test_sweep_resume_refuses_config_mismatch(tmp_path, monkeypatch):
     assert calls == [('EQ_4_D', 'sindy', 0)]   # re-ran despite resume_log
 
 
+def test_sweep_resume_refuses_multi_fingerprint_log(tmp_path, monkeypatch):
+    """A log holding SEVERAL appended sweeps must be verified against every
+    fingerprint: rows written under an earlier, different config may hide
+    behind a matching last fingerprint (ADVICE r2)."""
+    import logging
+
+    from insite_tpu.harness import runner as runner_mod
+    from insite_tpu.harness.config import RunConfig
+    from insite_tpu.harness.runner import Experiment
+
+    base = dict(train_samples=40, val_samples=8, test_samples=6,
+                seed_runs=1, debug_mode=True, metrics_jsonl='')
+
+    log_path = tmp_path / 'appended.txt'
+    handler = logging.FileHandler(log_path)
+    log = logging.getLogger('resume_multifp_test')
+    log.setLevel(logging.INFO)
+    log.addHandler(handler)
+
+    # sweep 1: epochs=7 writes rows into the log
+    cfg1 = RunConfig(methods=('sindy',), datasets=('EQ_4_D',), epochs=7,
+                     **base)
+    runner_mod.sweep(cfg1, Experiment.MAIN_TABLE, log=log)
+    # sweep 2 APPENDS to the same log at epochs=9 (its fingerprint is now
+    # the last one in the file) but covers a different dataset, so the
+    # epochs=7 EQ_4_D row is still the only EQ_4_D row present
+    cfg2 = RunConfig(methods=('sindy',), datasets=('EQ_4_A',), epochs=9,
+                     **base)
+    runner_mod.sweep(cfg2, Experiment.MAIN_TABLE, log=log)
+    handler.flush()
+
+    calls = []
+    real_run = runner_mod.run_experiment
+
+    def counting_run(*a, **k):
+        calls.append(a[:3])
+        return real_run(*a, **k)
+
+    monkeypatch.setattr(runner_mod, 'run_experiment', counting_run)
+    # resume at epochs=9: the last fingerprint matches, but the EQ_4_D row
+    # was written under epochs=7 — resume must refuse and re-run it
+    cfg3 = RunConfig(methods=('sindy',), datasets=('EQ_4_D',), epochs=9,
+                     resume_log=str(log_path), **base)
+    df3, _ = runner_mod.sweep(cfg3, Experiment.MAIN_TABLE, log=log)
+    assert len(df3) == 1
+    assert calls == [('EQ_4_D', 'sindy', 0)]   # re-ran despite resume_log
+
+
 @pytest.mark.parametrize('kind', ['msm', 'gnet', 'rmsn', 'crn', 'edct'])
 def test_remaining_families_roundtrip(tmp_path, kind):
     coll = make_coll()

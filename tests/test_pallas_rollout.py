@@ -149,6 +149,10 @@ def test_pallas_gn_finetune_matches_xla_gn():
     B, T = 8, 14
     base = np.stack([[0, 0.3, 0, 0, -1.0, 0, 0],
                      [0, -0.2, 0, 0, 0, -1.0, 0]]).astype(np.float32)
+    # a retained SUB-threshold global coefficient (|c| <= 1e-3): skip rows
+    # (seq_len <= projection_horizon) roll out the FULL unmasked global
+    # model on both paths — this entry must survive into their rollout
+    base[0, 0] = 8e-4
     g = jnp.asarray(base)
     active_idx = tuple(int(i) for i in
                        np.flatnonzero(np.abs(base.reshape(-1)) > 1e-3))
