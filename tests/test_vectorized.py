@@ -157,6 +157,26 @@ def test_vectorized_ct_sweep_mesh_matches_unsharded():
 
 
 @pytest.mark.slow
+def test_vectorized_gnet_sweep_mesh_matches_unsharded():
+    """Seed-sharding the G-Net column (training + MC rollouts with the
+    sharded residual bank) over a 2-device mesh reproduces the
+    single-device column (VERDICT r2 #8: promote the dryrun's sharded
+    G-Net column assertion into the test suite)."""
+    import jax
+    import numpy as np
+    from insite_tpu.harness.vectorized_neural import vectorized_gnet_sweep
+    from insite_tpu.parallel import batch_mesh
+    kw = dict(num_patients={'train': 40, 'val': 8, 'test': 6},
+              epochs=2, eval_chunk=16, mc_samples=2)
+    base = vectorized_gnet_sweep('EQ_4_D', n_seeds=2, **kw)
+    mesh = batch_mesh(jax.devices()[:2])
+    sharded = vectorized_gnet_sweep('EQ_4_D', n_seeds=2, mesh=mesh, **kw)
+    assert set(base) == set(sharded)
+    for k in base:
+        np.testing.assert_allclose(sharded[k], base[k], rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_vectorized_enc_dec_sweep_smoke():
     """Whole CRN / EDCT seed columns as vmapped two-stage dispatches."""
     import numpy as np
@@ -222,33 +242,35 @@ def test_vectorized_ct_sweep_smoke():
 @pytest.mark.slow
 def test_vectorized_ct_matches_standard_path():
     """With the rng discipline aligned to CausalTransformer.fit, a
-    1-seed vectorized column reproduces the standard per-seed path (same
-    cohort, same init/training rngs; only vmap reduction order differs)."""
+    2-seed stacked vectorized column reproduces each standard per-seed
+    path (same cohorts, same init/training rngs; stacked seeds exercise
+    the per-seed rng split + row padding the sweep columns rely on)."""
     import numpy as np
     from insite_tpu.data import make_collection
     from insite_tpu.harness.vectorized_neural import vectorized_ct_sweep
     from insite_tpu.models.ct import CTConfig, CausalTransformer
 
     num_patients = {'train': 40, 'val': 8, 'test': 6}
-    r_vec = vectorized_ct_sweep('EQ_4_D', n_seeds=1,
+    r_vec = vectorized_ct_sweep('EQ_4_D', n_seeds=2,
                                 num_patients=num_patients, epochs=3,
                                 eval_chunk=64)
-    np.random.seed(0)
-    coll = make_collection('EQ_4_D', num_patients, 0, coeff=2.0,
-                           treatment_mode='multilabel')
-    coll.process_data_multi()
-    d = coll.train_f.data
-    cfg = CTConfig(epochs=3, seed=0, treatment_mode='multilabel',
-                   dim_outcome=d['outputs'].shape[-1],
-                   dim_treatments=d['current_treatments'].shape[-1],
-                   dim_static_features=d['static_features'].shape[-1])
-    m = CausalTransformer(cfg, coll).fit(coll.train_f)
-    o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
-                                           one_step_counterfactual=True)
-    np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][0], o,
-                               rtol=1e-3)
-    np.testing.assert_allclose(r_vec['encoder_test_rmse_last'][0], l,
-                               rtol=1e-3)
+    for seed in (0, 1):
+        np.random.seed(seed)
+        coll = make_collection('EQ_4_D', num_patients, seed, coeff=2.0,
+                               treatment_mode='multilabel')
+        coll.process_data_multi()
+        d = coll.train_f.data
+        cfg = CTConfig(epochs=3, seed=seed, treatment_mode='multilabel',
+                       dim_outcome=d['outputs'].shape[-1],
+                       dim_treatments=d['current_treatments'].shape[-1],
+                       dim_static_features=d['static_features'].shape[-1])
+        m = CausalTransformer(cfg, coll).fit(coll.train_f)
+        o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
+                                               one_step_counterfactual=True)
+        np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][seed], o,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(r_vec['encoder_test_rmse_last'][seed], l,
+                                   rtol=1e-3)
 
 
 def test_vectorized_insight_grid_sweeps():
@@ -322,25 +344,26 @@ def test_vectorized_rmsn_matches_standard_path():
     from insite_tpu.models.rmsn import RMSN, RMSNConfig
 
     num_patients = {'train': 40, 'val': 8, 'test': 6}
-    r_vec = vectorized_rmsn_sweep('EQ_4_D', n_seeds=1,
+    r_vec = vectorized_rmsn_sweep('EQ_4_D', n_seeds=2,
                                   num_patients=num_patients, epochs=2,
                                   eval_chunk=64)
-    np.random.seed(0)
-    coll = make_collection('EQ_4_D', num_patients, 0, coeff=2.0,
-                           treatment_mode='multilabel')
-    coll.process_data_encoder()
-    d = coll.train_f.data
-    cfg = RMSNConfig(epochs=2, seed=0, treatment_mode='multilabel',
-                     dim_outcome=d['outputs'].shape[-1],
-                     dim_treatments=d['current_treatments'].shape[-1],
-                     dim_static_features=d['static_features'].shape[-1])
-    m = RMSN(cfg, coll).fit()
-    o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
-                                           one_step_counterfactual=True)
-    np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][0], o,
-                               rtol=1e-3)
-    np.testing.assert_allclose(r_vec['encoder_test_rmse_last'][0], l,
-                               rtol=1e-3)
+    for seed in (0, 1):
+        np.random.seed(seed)
+        coll = make_collection('EQ_4_D', num_patients, seed, coeff=2.0,
+                               treatment_mode='multilabel')
+        coll.process_data_encoder()
+        d = coll.train_f.data
+        cfg = RMSNConfig(epochs=2, seed=seed, treatment_mode='multilabel',
+                         dim_outcome=d['outputs'].shape[-1],
+                         dim_treatments=d['current_treatments'].shape[-1],
+                         dim_static_features=d['static_features'].shape[-1])
+        m = RMSN(cfg, coll).fit()
+        o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
+                                               one_step_counterfactual=True)
+        np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][seed], o,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(r_vec['encoder_test_rmse_last'][seed], l,
+                                   rtol=1e-3)
 
 
 @pytest.mark.slow
@@ -353,27 +376,64 @@ def test_vectorized_crn_matches_standard_path():
     from insite_tpu.models.crn import CRN, CRNConfig
 
     num_patients = {'train': 40, 'val': 8, 'test': 6}
-    r_vec = vectorized_enc_dec_sweep('crn', 'EQ_4_D', n_seeds=1,
+    r_vec = vectorized_enc_dec_sweep('crn', 'EQ_4_D', n_seeds=2,
                                      num_patients=num_patients, epochs=2,
                                      eval_chunk=64)
-    np.random.seed(0)
-    coll = make_collection('EQ_4_D', num_patients, 0, coeff=2.0,
-                           treatment_mode='multilabel')
-    coll.process_data_encoder()
-    d = coll.train_f.data
-    cfg = CRNConfig(epochs=2, seed=0, treatment_mode='multilabel',
-                    dim_outcome=d['outputs'].shape[-1],
-                    dim_treatments=d['current_treatments'].shape[-1],
-                    dim_static_features=d['static_features'].shape[-1])
-    m = CRN(cfg, coll).fit()
-    o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
-                                           one_step_counterfactual=True)
-    np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][0], o,
-                               rtol=1e-3)
-    n_step = np.asarray(
-        m.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
-    np.testing.assert_allclose(r_vec['decoder_test_rmse_6-step'][0],
-                               n_step[-1], rtol=1e-3)
+    for seed in (0, 1):
+        np.random.seed(seed)
+        coll = make_collection('EQ_4_D', num_patients, seed, coeff=2.0,
+                               treatment_mode='multilabel')
+        coll.process_data_encoder()
+        d = coll.train_f.data
+        cfg = CRNConfig(epochs=2, seed=seed, treatment_mode='multilabel',
+                        dim_outcome=d['outputs'].shape[-1],
+                        dim_treatments=d['current_treatments'].shape[-1],
+                        dim_static_features=d['static_features'].shape[-1])
+        m = CRN(cfg, coll).fit()
+        o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
+                                               one_step_counterfactual=True)
+        np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][seed], o,
+                                   rtol=1e-3)
+        n_step = np.asarray(
+            m.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
+        np.testing.assert_allclose(r_vec['decoder_test_rmse_6-step'][seed],
+                                   n_step[-1], rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_vectorized_gnet_matches_standard_path():
+    """2-seed stacked vectorized G-Net column reproduces each standard
+    per-seed path, incl. the per-seed np.random residual-index draws of
+    the MC rollouts (gnet.py get_autoregressive_predictions)."""
+    import numpy as np
+    from insite_tpu.data import make_collection
+    from insite_tpu.harness.vectorized_neural import vectorized_gnet_sweep
+    from insite_tpu.models.gnet import GNet, GNetConfig
+
+    num_patients = {'train': 40, 'val': 8, 'test': 6}
+    r_vec = vectorized_gnet_sweep('EQ_4_D', n_seeds=2,
+                                  num_patients=num_patients, epochs=2,
+                                  eval_chunk=64, mc_samples=2)
+    for seed in (0, 1):
+        np.random.seed(seed)
+        coll = make_collection('EQ_4_D', num_patients, seed, coeff=2.0,
+                               treatment_mode='multilabel')
+        coll.process_data_multi()
+        d = coll.train_f.data
+        cfg = GNetConfig(epochs=2, seed=seed, mc_samples=2,
+                         dim_outcome=d['outputs'].shape[-1],
+                         dim_treatments=d['current_treatments'].shape[-1],
+                         dim_static_features=d['static_features'].shape[-1])
+        m = GNet(cfg, coll)
+        m.fit(coll.train_f, coll.val_f)
+        o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
+                                               one_step_counterfactual=True)
+        np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][seed], o,
+                                   rtol=1e-3)
+        n_step = np.asarray(
+            m.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
+        np.testing.assert_allclose(r_vec['decoder_test_rmse_6-step'][seed],
+                                   n_step[-1], rtol=1e-3)
 
 
 @pytest.mark.slow
@@ -386,24 +446,25 @@ def test_vectorized_edct_matches_standard_path():
     from insite_tpu.models.edct import EDCT, EDCTConfig
 
     num_patients = {'train': 40, 'val': 8, 'test': 6}
-    r_vec = vectorized_enc_dec_sweep('edct', 'EQ_4_D', n_seeds=1,
+    r_vec = vectorized_enc_dec_sweep('edct', 'EQ_4_D', n_seeds=2,
                                      num_patients=num_patients, epochs=2,
                                      eval_chunk=64)
-    np.random.seed(0)
-    coll = make_collection('EQ_4_D', num_patients, 0, coeff=2.0,
-                           treatment_mode='multilabel')
-    coll.process_data_encoder()
-    d = coll.train_f.data
-    cfg = EDCTConfig(epochs=2, seed=0, treatment_mode='multilabel',
-                     dim_outcome=d['outputs'].shape[-1],
-                     dim_treatments=d['current_treatments'].shape[-1],
-                     dim_static_features=d['static_features'].shape[-1])
-    m = EDCT(cfg, coll).fit()
-    o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
-                                           one_step_counterfactual=True)
-    np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][0], o,
-                               rtol=1e-3)
-    n_step = np.asarray(
-        m.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
-    np.testing.assert_allclose(r_vec['decoder_test_rmse_6-step'][0],
-                               n_step[-1], rtol=1e-3)
+    for seed in (0, 1):
+        np.random.seed(seed)
+        coll = make_collection('EQ_4_D', num_patients, seed, coeff=2.0,
+                               treatment_mode='multilabel')
+        coll.process_data_encoder()
+        d = coll.train_f.data
+        cfg = EDCTConfig(epochs=2, seed=seed, treatment_mode='multilabel',
+                         dim_outcome=d['outputs'].shape[-1],
+                         dim_treatments=d['current_treatments'].shape[-1],
+                         dim_static_features=d['static_features'].shape[-1])
+        m = EDCT(cfg, coll).fit()
+        o, a, l = m.get_normalised_masked_rmse(coll.test_cf_one_step,
+                                               one_step_counterfactual=True)
+        np.testing.assert_allclose(r_vec['encoder_test_rmse_orig'][seed], o,
+                                   rtol=1e-3)
+        n_step = np.asarray(
+            m.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
+        np.testing.assert_allclose(r_vec['decoder_test_rmse_6-step'][seed],
+                                   n_step[-1], rtol=1e-3)
