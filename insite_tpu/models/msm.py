@@ -154,18 +154,76 @@ class MSM(CausalEstimator):
         return np.concatenate(inputs, axis=1)
 
     # ------------------------------------------------------------------
+    # dense all-prefix feature builders: the exploded-row features above
+    # are, per (patient, prefix-end t), just prefix cumsums and lag
+    # windows of the ORIGINAL [n, T] arrays — computing them densely
+    # avoids materialising the ~60x exploded [rows, T, k] tensors that
+    # dominated MSM wall-clock (the hot spot was a memory-bound ~600k-row
+    # explosion of the one-step test set).  Equivalence with the exploded
+    # path is asserted in tests/test_msm_dense.py.
+
+    def _dense_hist(self, data, shift=0):
+        """_inputs_hist of EVERY prefix end t at once: [n, T-lag, D_hist]
+        where row (i, j) is the exploded-row feature at prefix end
+        t = j + lag, evaluated `shift` steps back (projection_horizon)."""
+        lag = self.lag_features
+        do = self.cfg.dim_outcome
+        pt = np.asarray(data['prev_treatments'], np.float64)
+        po = np.asarray(data['prev_outputs'], np.float64)
+        st = np.asarray(data['static_features'], np.float64)
+        n, T = pt.shape[:2]
+        cum = np.cumsum(pt, axis=1)                       # [n, T, k]
+        # windows of prev_outputs covering [s-lag, s], s = prefix end
+        win = np.lib.stride_tricks.sliding_window_view(
+            po, lag + 1, axis=1)                          # [n, T-lag, do, lag+1]
+        win = win.transpose(0, 1, 3, 2).reshape(n, T - lag, (lag + 1) * do)
+        # prefix end t runs over [lag, T); with shift, features are read
+        # at s = t - shift (valid only for t >= lag + shift)
+        s = np.arange(lag, T) - shift                     # [T-lag]
+        s = np.clip(s, lag, T - 1)
+        feats = [cum[:, s], win[:, s - lag],
+                 np.broadcast_to(st[:, None], (n, T - lag, st.shape[-1]))]
+        return np.concatenate(feats, axis=-1)
+
+    def _dense_regressor(self, data, tau=0, shift=None):
+        """_inputs_regressor of every prefix end t: [n, T-lag, D]."""
+        shift = tau if shift is None else shift
+        lag = self.lag_features
+        ct = np.asarray(data['current_treatments'], np.float64)
+        n, T = ct.shape[:2]
+        hist = self._dense_hist(data, shift=shift)
+        # current-treatment window sum over [t-tau, t] (cumsum difference)
+        cum = np.cumsum(ct, axis=1)
+        t = np.arange(lag, T)
+        low = t - tau - 1
+        wsum = cum[:, t] - np.where(low[None, :, None] >= 0,
+                                    np.take(cum, np.clip(low, 0, T - 1),
+                                            axis=1), 0.0)
+        return np.concatenate([hist, wsum], axis=-1)
+
+    @staticmethod
+    def _valid_rows(data, min_length):
+        """Mask [n, T-min_length... ] of exploded-row existence: prefix
+        end t in [min_length, L_i)."""
+        lengths = np.asarray(data['sequence_lengths']).astype(np.int64)
+        n = lengths.shape[0]
+        T = data['active_entries'].shape[1]
+        t = np.arange(min_length, T)
+        return t[None, :] < lengths[:, None]              # [n, T-min_length]
+
     def get_propensity_scores(self, dataset, which='treat') -> np.ndarray:
         lag = self.lag_features
-        exploded = self._exploded(dataset, min_length=lag,
-                                  only_active_entries=False)
+        d = dataset.data
         if which == 'treat':
-            inputs = self._inputs_treat(exploded.data)
+            cum = np.cumsum(np.asarray(d['prev_treatments'], np.float64),
+                            axis=1)
+            inputs = cum[:, lag:]                         # [n, T-lag, k]
             W, b = self.prop_treat
         else:
-            inputs = self._inputs_hist(exploded.data)
+            inputs = self._dense_hist(d)
             W, b = self.prop_hist
-        probs = logistic_proba(W, b, inputs)
-        n, T = dataset.data['active_entries'].shape[:2]
+        n, T = d['active_entries'].shape[:2]
+        probs = logistic_proba(W, b, inputs.reshape(n * (T - lag), -1))
         probs = probs.reshape(n, T - lag, self.cfg.dim_treatments)
         return np.concatenate(
             [0.5 * np.ones((n, lag, self.cfg.dim_treatments)), probs],
@@ -173,14 +231,17 @@ class MSM(CausalEstimator):
 
     def _fit_propensity(self, which):
         lag = self.lag_features
-        train = self._exploded(self.collection.train_f, min_length=lag)
-        active = train.data['active_entries']
-        last = self._last_entries(active)
+        d = self.collection.train_f.data
+        valid = self._valid_rows(d, lag).reshape(-1)
         if which == 'treat':
-            inputs = self._inputs_treat(train.data)
+            cum = np.cumsum(np.asarray(d['prev_treatments'], np.float64),
+                            axis=1)
+            inputs = cum[:, lag:]
         else:
-            inputs = self._inputs_hist(train.data)
-        outputs = (train.data['current_treatments'] * last).sum(1)
+            inputs = self._dense_hist(d)
+        inputs = inputs.reshape(-1, inputs.shape[-1])[valid]
+        ct = np.asarray(d['current_treatments'], np.float64)
+        outputs = ct[:, lag:].reshape(-1, ct.shape[-1])[valid]
         return logistic_fit(inputs, outputs, self.cfg.max_epochs)
 
     def fit(self, train_f=None, val_f=None):
@@ -193,21 +254,37 @@ class MSM(CausalEstimator):
         ph_ = self.get_propensity_scores(coll.train_f, 'hist')
         coll.train_f.data['stabilized_weights'] = np.prod(pt / ph_, axis=2)
 
+        d = coll.train_f.data
+        lag = self.lag_features
+        outs = np.asarray(d['outputs'], np.float64)
         self.regressors = []
         for tau in range(cfg.projection_horizon + 1):
-            train = self._exploded(coll.train_f,
-                                   min_length=self.lag_features + tau)
-            active = train.data['active_entries']
-            last = self._last_entries(active)
-            inputs = self._inputs_regressor(train.data,
-                                            projection_horizon=tau, tau=tau)
-            sw = self._sample_weights(train.data, tau)
-            outputs = (train.data['outputs'] * last).sum(1)
-            self.regressors.append(linreg_fit(inputs, outputs, sw))
+            valid = self._valid_rows(d, lag + tau)        # [n, T-lag-tau]
+            inputs = self._dense_regressor(d, tau=tau)[:, tau:]
+            flat = inputs.reshape(-1, inputs.shape[-1])[valid.reshape(-1)]
+            outputs = outs[:, lag + tau:].reshape(
+                -1, outs.shape[-1])[valid.reshape(-1)]
+            sw = self._dense_sample_weights(d, tau)[valid]
+            self.regressors.append(linreg_fit(flat, outputs, sw))
         return self
 
+    def _dense_sample_weights(self, data, tau):
+        """Windowed SW products of every valid prefix end (msm.py:254-266):
+        prod of stabilized_weights over [t-tau, t], t in [lag+tau, T)."""
+        lag = self.lag_features
+        sw_full = np.asarray(data['stabilized_weights'], np.float64)
+        n, T = sw_full.shape
+        t = np.arange(lag + tau, T)
+        sw = np.ones((n, T - lag - tau), np.float64)
+        for j in range(tau + 1):
+            sw = sw * sw_full[:, t - j]
+        flat = sw[self._valid_rows(data, lag + tau)]
+        lo, hi = np.nanquantile(flat, 0.01), np.nanquantile(flat, 0.99)
+        return np.clip(sw, lo, hi)
+
     def _sample_weights(self, data, tau):
-        """msm.py:254-266."""
+        """msm.py:254-266 (exploded-row form; kept as the reference spec
+        for the dense-equivalence test)."""
         active = data['active_entries']
         sw_full = data['stabilized_weights']
         pred_entries = active - np.concatenate(
@@ -223,16 +300,13 @@ class MSM(CausalEstimator):
     def get_predictions(self, dataset) -> np.ndarray:
         cfg = self.cfg
         lag = self.lag_features
-        max_len = int(max(dataset.data['sequence_lengths']))
-        exploded = self._exploded(dataset, min_length=lag,
-                                  only_active_entries=False,
-                                  max_length=max_len)
-        inputs = self._inputs_regressor(exploded.data, 0, 0)
+        inputs = self._dense_regressor(dataset.data, tau=0)
+        n, Tl = inputs.shape[:2]
         coef = self.regressors[0]
-        pred = np.concatenate([inputs, np.ones((inputs.shape[0], 1))],
+        flat = inputs.reshape(n * Tl, -1)
+        pred = np.concatenate([flat, np.ones((flat.shape[0], 1))],
                               axis=1) @ coef
-        n, T = dataset.data['active_entries'].shape[:2]
-        pred = pred.reshape(n, T - lag, cfg.dim_outcome)
+        pred = pred.reshape(n, Tl, cfg.dim_outcome)
         # the first `lag` steps lack enough history -> duplicate the first
         # available prediction (reference does this once for lag=1)
         pad = np.repeat(pred[:, :1, :], lag, axis=1)

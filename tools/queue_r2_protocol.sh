@@ -1,8 +1,12 @@
 #!/bin/bash
-# Round-2 protocol queue, method-level: one run.py process per method
-# covers all its datasets (amortizes tunnel init + per-family compile
-# cache). 10 seeds x 100 epochs, vectorized columns; per-column fault
-# walls inside vectorized_sweep (--no-debug).
+# Protocol queue (round 2, reordered for round 3): one run.py process per
+# method covers all its datasets (amortizes tunnel init + per-family
+# compile cache). 10 seeds x 100 epochs, vectorized columns; per-column
+# fault walls inside vectorized_sweep (--no-debug).
+#
+# Round-3 ordering: evidence gaps first — edct has ZERO protocol rows and
+# rmsn has the one red n=10 cell (VERDICT r2), so they run before the
+# methods that already have partial coverage.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/markers
@@ -29,21 +33,35 @@ run_method() {  # method datasets... (vectorized)
     echo "[queue] $(date +%T) FAILED $m" >> logs/queue_r2.log
   fi
 }
+run_method edct $DS_ALL
+run_method rmsn $DS_ALL
 # ct: EQ_5_B already done with the corrected rng (20:45 column)
 run_method ct cancer_sim EQ_5_A EQ_5_C EQ_5_D EQ_4_A EQ_4_B EQ_4_C EQ_4_D
 run_method crn $DS_ALL
 run_method gnet $DS_ALL
-run_method rmsn $DS_ALL
-run_method edct $DS_ALL
 echo "[queue] $(date +%T) standard msm + wsindy" >> logs/queue_r2.log
 if [ ! -f logs/markers/r2m_msm ]; then
+  wait_tpu
+  # dense all-prefix MSM features (round 3) cut fit+eval ~43x; the whole
+  # 10-seed x 9-dataset column is now a ~20 min stage
   timeout 14400 python run.py --methods msm --datasets $DS_ALL --seeds 10 \
     --no-debug >> logs/queue_r2.log 2>&1 && touch logs/markers/r2m_msm
 fi
 if [ ! -f logs/markers/r2m_wsindy ]; then
+  wait_tpu
   timeout 14400 python run.py --methods wsindy \
     --datasets EQ_4_A EQ_4_B EQ_4_C EQ_4_D --seeds 10 \
     --no-debug >> logs/queue_r2.log 2>&1 && touch logs/markers/r2m_wsindy
+fi
+# EQ_5_D insite/sindy standard-path re-run (VERDICT r2 weak #2): the old
+# 2-seed rows predate the y_clip/cf-row-validity fix; skip if the CPU
+# fallback queue already landed it
+if [ ! -f logs/markers/r3cpu_eq5d_ode ] && \
+   [ ! -f logs/markers/r3_eq5d_ode ]; then
+  wait_tpu
+  timeout 7200 python run.py --methods insite sindy --datasets EQ_5_D \
+    --seeds 5 --no-debug >> logs/queue_r2.log 2>&1 \
+    && touch logs/markers/r3_eq5d_ode
 fi
 # 10-seed INSIGHT grids (VERDICT weak #3), one vectorized dispatch per
 # grid point
