@@ -33,21 +33,25 @@ from insite_tpu.models.sindy import SINDyConfig, SINDyRegressor  # noqa: E402
 from insite_tpu.sim import pkpd  # noqa: E402
 
 
-def warmup():
+def warmup(mode):
     """Touch the device + transfer path once before the clock starts: the
     remote-TPU tunnel sporadically stalls 50-300 s on a fresh process's
     first heavy interaction (one-time environment cost, not workload)."""
     t0 = time()
     x = jnp.ones((256, 64))
     np.asarray(jnp.cumsum(x, axis=1))
-    coll = PkpdDatasetCollection(
-        conf_coeff=2.0, num_patients={'train': 8, 'val': 4, 'test': 2},
-        equation_str='EQ_4_D', seed=1)
-    cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
-                      sindy_alpha=0.5, lam=10.0, insite=True)
-    m = SINDyRegressor(cfg, coll)
-    m.fit(coll.train_f)
-    m._fine_tuned_rollout(coll.train_f, projection_horizon=1)
+    if mode == "fused":
+        from insite_tpu.harness.northstar import fused_northstar
+        fused_northstar(8, seed=1)
+    else:
+        coll = PkpdDatasetCollection(
+            conf_coeff=2.0, num_patients={'train': 8, 'val': 4, 'test': 2},
+            equation_str='EQ_4_D', seed=1)
+        cfg = SINDyConfig(dataset_name='EQ_4_D', sindy_threshold=0.1,
+                          sindy_alpha=0.5, lam=10.0, insite=True)
+        m = SINDyRegressor(cfg, coll)
+        m.fit(coll.train_f)
+        m._fine_tuned_rollout(coll.train_f, projection_horizon=1)
     print(f"[bench] warmup (untimed, absorbs link stalls + small-shape "
           f"compiles): {time() - t0:.2f}s", file=sys.stderr)
 
@@ -104,8 +108,35 @@ def main():
     killer.start()
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
-    warmup()
+    # 'fused' (default): the whole simulate+design+QR as ONE device
+    # program, F x F STLSQ on host, fine-tune as the second program —
+    # same cohort and coefficients as the standard path
+    # (tests/test_northstar.py), minus its per-stage host<->device
+    # roundtrips. BENCH_MODE=standard keeps the collection+fit path.
+    mode = os.environ.get("BENCH_MODE", "fused")
+    warmup(mode)
     killer.cancel()
+
+    if mode == "fused":
+        from insite_tpu.harness.northstar import fused_northstar
+        t0 = time()
+        r = fused_northstar(n_train, seed=0, equation_name='EQ_4_D',
+                            projection_horizon=1)
+        total = time() - t0
+        print(f"[bench] fused: sim+design+QR {r['t_sim_design']:.2f}s | "
+              f"host STLSQ {r['t_stlsq']:.3f}s | fine-tune "
+              f"{r['t_finetune']:.2f}s | metric {r['t_metric']:.2f}s",
+              file=sys.stderr)
+        print(f"[bench] {r['global_equation_string']}", file=sys.stderr)
+        print(f"[bench] factual normalised RMSE: orig={r['rmse_orig']:.4f}%"
+              f" all={r['rmse_all']:.4f}%", file=sys.stderr)
+        print(json.dumps({
+            "metric": "eq4_10k_simulate_discover_finetune_wall_s",
+            "value": round(total, 2),
+            "unit": "s",
+            "vs_baseline": round(60.0 / total, 3),
+        }))
+        return
 
     t0 = time()
     # --- simulate the cohort (10k factual + small val/test) ---------------

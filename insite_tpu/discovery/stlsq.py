@@ -111,18 +111,15 @@ def _qr_reduce(theta, y, sample_weight):
     return R[:F, :F], R[:F, F]
 
 
-def stlsq_hostsolve(theta, y, threshold, alpha, sample_weight=None,
-                    max_iter: int = 100, initial_mask=None,
-                    unbias: bool = True):
-    """Global-discovery STLSQ: the N-row reduction happens on device (QR),
-    the tiny F×F thresholding iteration runs on the host in float64 —
-    numerically equivalent to the reference's sklearn f64 path
-    (pysindy STLSQ + unbias, pkpd/utils.py:96-335) regardless of the device
-    compute dtype.  Returns numpy (coefs [F], mask [F])."""
+def stlsq_from_qr(R, qty, threshold, alpha, max_iter: int = 100,
+                  initial_mask=None, unbias: bool = True):
+    """The tiny F×F STLSQ thresholding iteration on a QR-reduced problem,
+    run on the host in float64 — numerically equivalent to the reference's
+    sklearn f64 path (pysindy STLSQ + unbias, pkpd/utils.py:96-335)
+    regardless of the device compute dtype.  Takes the (R, Qᵀy) triangle of
+    `_qr_reduce` (possibly fetched from a fused device program); returns
+    numpy (coefs [F], mask [F])."""
     import numpy as np
-    R, qty = _qr_reduce(jnp.asarray(theta), jnp.asarray(y),
-                        None if sample_weight is None
-                        else jnp.asarray(sample_weight))
     R = np.asarray(R, np.float64)
     qty = np.asarray(qty, np.float64)
     F = R.shape[0]
@@ -150,6 +147,19 @@ def stlsq_hostsolve(theta, y, threshold, alpha, sample_weight=None,
     if unbias and mask.any():
         coefs = np.where(mask, solve(mask, 0.0), 0.0)
     return coefs, mask
+
+
+def stlsq_hostsolve(theta, y, threshold, alpha, sample_weight=None,
+                    max_iter: int = 100, initial_mask=None,
+                    unbias: bool = True):
+    """Global-discovery STLSQ: the N-row reduction happens on device (QR),
+    the F×F thresholding iteration on the host (`stlsq_from_qr`).
+    Returns numpy (coefs [F], mask [F])."""
+    R, qty = _qr_reduce(jnp.asarray(theta), jnp.asarray(y),
+                        None if sample_weight is None
+                        else jnp.asarray(sample_weight))
+    return stlsq_from_qr(R, qty, threshold, alpha, max_iter=max_iter,
+                         initial_mask=initial_mask, unbias=unbias)
 
 
 def masked_ridge(theta, y, alpha, mask=None, sample_weight=None):
