@@ -40,9 +40,14 @@ def custom_format(number, threshold=1e-2):
     return f'{number:.2f}'
 
 
-def df_from_log(path) -> pd.DataFrame:
+def df_from_log(path, with_ts=False) -> pd.DataFrame:
     """Parse '[Exp evaluation complete] {...}' lines back into a DataFrame
-    (results_utils.py:121-172)."""
+    (results_utils.py:121-172).
+
+    with_ts=True adds a `_log_ts` column parsed from each line's logging
+    timestamp so multi-log combiners can dedup newest-first by actual wall
+    time rather than argument order (rows for the same (dataset, method,
+    seed) can exist in several logs; the newest reflects current code)."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -50,7 +55,15 @@ def df_from_log(path) -> pd.DataFrame:
                 payload = line.split('[Exp evaluation complete] ')[1].strip()
                 payload = payload.replace('nan', "'nan'")
                 payload = payload.replace('array', '')
-                rows.append(ast.literal_eval(payload))
+                row = ast.literal_eval(payload)
+                if with_ts:
+                    try:
+                        row['_log_ts'] = pd.Timestamp(
+                            line.split(' INFO')[0].split(' DEBUG')[0]
+                            .replace(',', '.').strip())
+                    except (ValueError, IndexError):
+                        row['_log_ts'] = pd.Timestamp(0)
+                rows.append(row)
     return pd.DataFrame(rows)
 
 

@@ -67,7 +67,7 @@ def main():
             if not fps:
                 print(f'[protocol] {path}: no [Sweep config] fingerprint '
                       f'(pre-fingerprint log) — rows kept unverified')
-        d = df_from_log(path)
+        d = df_from_log(path, with_ts=True)
         if not d.empty:
             frames.append(d)
     if not frames:
@@ -75,7 +75,12 @@ def main():
     df = pd.concat(frames, ignore_index=True)
     key = [c for c in ('dataset_name', 'method_name', 'seed', 'domain_conf',
                        'noise_scale', 'train_samples') if c in df.columns]
-    df = df.drop_duplicates(subset=key, keep='last').reset_index(drop=True)
+    # newest-wins by the rows' ACTUAL logging timestamps — argument/glob
+    # order is not chronological (round-1 logs passed after round-2 ones
+    # used to shadow newer re-runs of the same (dataset, method, seed))
+    df = df.sort_values('_log_ts', kind='stable') \
+        .drop_duplicates(subset=key, keep='last') \
+        .drop(columns=['_log_ts']).reset_index(drop=True)
     if args.protocol:
         keep = df['domain_conf'].astype(float) == 2.0
         if 'noise_scale' in df.columns:

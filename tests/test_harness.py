@@ -336,3 +336,38 @@ def test_successive_halving_search_promotes_survivors():
     from collections import Counter
     c = Counter(f['epochs'] for f in fitted)
     assert c[4] == 6 and c[12] == 2 and c[36] == 1
+
+
+def test_multi_log_dedup_is_newest_by_timestamp(tmp_path):
+    """process_result_file combines logs newest-first by each row's
+    LOGGING timestamp, not argument order: an older log passed later on
+    the command line must not shadow a newer re-run of the same
+    (dataset, method, seed) (the round-2 'contradictory cells' bug)."""
+    import json
+    import subprocess
+    import sys
+
+    def row(ts, rmse):
+        d = {'encoder_test_rmse_orig': rmse, 'encoder_test_rmse_all': rmse,
+             'encoder_test_rmse_last': rmse,
+             'decoder_test_rmse_6-step': rmse, 'method': 'sindy',
+             'seed': 0, 'seconds_taken': 1.0, 'errored': False,
+             'dataset_name': 'EQ_4_D', 'method_name': 'sindy',
+             'domain_conf': 2.0}
+        return f'{ts} INFO [Exp evaluation complete] {d}\n'
+
+    new_log = tmp_path / 'new.txt'
+    old_log = tmp_path / 'old.txt'
+    new_log.write_text(row('2026-08-18 10:00:00,000', 1.0))
+    old_log.write_text(row('2026-08-17 10:00:00,000', 9.0))
+    out_csv = tmp_path / 'rows.csv'
+    # older log passed LAST — must still lose to the newer row
+    r = subprocess.run(
+        [sys.executable, 'process_result_file.py', str(new_log),
+         str(old_log), '--csv', str(out_csv)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    import pandas as pd
+    df = pd.read_csv(out_csv)
+    assert len(df) == 1
+    assert float(df['encoder_test_rmse_orig'].iloc[0]) == 1.0
