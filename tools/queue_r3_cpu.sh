@@ -28,4 +28,28 @@ then
     --datasets EQ_4_D --seeds 5 --epochs 100 --no-debug \
     && touch logs/markers/r3cpu_eq4d_rmsn
 fi
+# edct has ZERO protocol rows; 2 CPU seeds on the two headline datasets
+# as a stopgap if the TPU queue's 10-seed edct column hasn't landed
+if [ ! -f logs/markers/r2m_edct ] && [ ! -f logs/markers/r3cpu_edct ]; then
+  echo "[cpu-queue] $(date +%T) EQ_4_D+cancer edct x2 seeds (cpu)"
+  timeout 43200 python run.py --platform cpu --methods edct \
+    --datasets EQ_4_D cancer_sim --seeds 2 --epochs 100 --no-debug \
+    && touch logs/markers/r3cpu_edct
+fi
+# 10-seed INSIGHT grids (insite/sindy, EQ_4) as the last CPU fallback if
+# the TPU queue never lands them this round
+if [ ! -f logs/markers/r2m_insight_noise ] && \
+   [ ! -f logs/markers/r3cpu_insight_noise ]; then
+  echo "[cpu-queue] $(date +%T) INSIGHT_NOISE x10 seeds (cpu)"
+  timeout 43200 python run.py --platform cpu --vectorized \
+    --experiment INSIGHT_NOISE --methods insite sindy --seeds 10 \
+    --no-debug && touch logs/markers/r3cpu_insight_noise
+fi
+if [ ! -f logs/markers/r2m_insight_less ] && \
+   [ ! -f logs/markers/r3cpu_insight_less ]; then
+  echo "[cpu-queue] $(date +%T) INSIGHT_LESS_SAMPLES x10 seeds (cpu)"
+  timeout 43200 python run.py --platform cpu --vectorized \
+    --experiment INSIGHT_LESS_SAMPLES --methods insite sindy --seeds 10 \
+    --no-debug && touch logs/markers/r3cpu_insight_less
+fi
 echo "[cpu-queue] $(date +%T) DONE"
