@@ -67,8 +67,10 @@ fi
 
 run_method edct $DS_ALL
 run_method rmsn $DS_ALL
-# ct: EQ_5_B already done with the corrected rng (20:45 column)
-run_method ct cancer_sim EQ_5_A EQ_5_C EQ_5_D EQ_4_A EQ_4_B EQ_4_C EQ_4_D
+# ct covers ALL datasets: the 20:45 EQ_5_B/EQ_5_C columns died on the
+# Aug-17 tunnel outage with zero completed rows (logs/run-20260817-202020
+# ERROR), so nothing ct-related is actually banked
+run_method ct $DS_ALL
 run_method crn $DS_ALL
 run_method gnet $DS_ALL
 if [ ! -f logs/markers/r2m_msm ] && [ ! -f logs/markers/r3cpu_msm10 ] && \
