@@ -28,6 +28,15 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+# BENCH_PLATFORM=cpu: smoke the bench on the host backend (e.g. while the
+# single-client TPU tunnel is held or down). Must flip the already-imported
+# jax config — the container's sitecustomize imports jax (registering the
+# TPU plugin) before env vars can take effect, so JAX_PLATFORMS=cpu alone
+# still blocks on the tunnel.
+_PLATFORM = os.environ.get("BENCH_PLATFORM")
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from insite_tpu.data import PkpdDatasetCollection  # noqa: E402
 from insite_tpu.models.sindy import SINDyConfig, SINDyRegressor  # noqa: E402
 from insite_tpu.sim import pkpd  # noqa: E402
@@ -62,6 +71,8 @@ def wait_for_backend():
     evidence. Probes in a SUBPROCESS so a failed backend init can't be
     cached by this process's jax, and a wedged probe can be timed out."""
     import subprocess
+    if _PLATFORM == "cpu":
+        return                      # host backend: nothing to wait for
     wait_budget = float(os.environ.get("BENCH_WAIT_S", 7200))
     deadline = time() + wait_budget
     tries = 0

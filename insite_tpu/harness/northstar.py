@@ -73,6 +73,19 @@ def _sim_design_qr(key, n: int, seq_length: int, equation_name: str,
     return triangles, (vol, statics, treat, lengths)
 
 
+@jax.jit
+def _factual_rmse(preds, vol, lengths):
+    """Normalised factual RMSE (%, orig = per-timestep-mean then sqrt,
+    all = pooled), accumulated in f32 on device."""
+    T = preds.shape[1]
+    active = (jnp.arange(T)[None, :] < lengths[:, None]).astype(preds.dtype)
+    err2 = jnp.where(active > 0, (preds - vol[:, 1:]) ** 2, 0.0)
+    mse_orig = (err2.sum(0) / jnp.maximum(active.sum(0), 1.0)).mean()
+    rmse_orig = jnp.sqrt(mse_orig) / MAX_VALUE * 100.0
+    rmse_all = jnp.sqrt(err2.sum() / active.sum()) / MAX_VALUE * 100.0
+    return rmse_orig, rmse_all
+
+
 def fused_northstar(n_train: int, seed: int = 0,
                     equation_name: str = 'EQ_4_D', conf_coeff: float = 2.0,
                     seq_length: int = 60, threshold: float = 0.1,
@@ -108,12 +121,22 @@ def fused_northstar(n_train: int, seed: int = 0,
     prev = vol[:, :-1]
     arms = treat[:, :seq_length - 1].astype(jnp.int32)
     t2 = time()
+    preds = None
     if use_pallas and active_idx:
-        preds, _ = insite_gn_finetune_predict_pallas(
-            library, jnp.asarray(coefs), prev, statics, arms, lengths,
-            STANDARD_DT, lam=lam, projection_horizon=projection_horizon,
-            gn_iters=gn_iters, y_clip=None, active_idx=active_idx)
-    else:
+        try:
+            preds, _ = insite_gn_finetune_predict_pallas(
+                library, jnp.asarray(coefs), prev, statics, arms, lengths,
+                STANDARD_DT, lam=lam, projection_horizon=projection_horizon,
+                gn_iters=gn_iters, y_clip=None, active_idx=active_idx)
+            preds.block_until_ready()
+        except Exception as e:  # first-TPU kernel lowering/VMEM failure:
+            # the bench must degrade to the XLA path, not zero the round
+            import sys
+            print(f'[northstar] pallas fine-tune failed '
+                  f'({type(e).__name__}: {e}); using the XLA path',
+                  file=sys.stderr, flush=True)
+            preds = None
+    if preds is None:
         preds, _ = insite_gn_finetune_predict(
             library, jnp.asarray(coefs), prev, statics, arms, lengths,
             STANDARD_DT, lam=lam, projection_horizon=projection_horizon,
@@ -123,16 +146,12 @@ def fused_northstar(n_train: int, seed: int = 0,
     t_finetune = time() - t2
 
     # factual normalised RMSE (metrics.normalised_masked_rmse semantics on
-    # the unscaled arrays: outputs[t] = vol[t+1], active = t < L)
+    # the unscaled arrays: outputs[t] = vol[t+1], active = t < L) — reduced
+    # ON DEVICE so only two scalars cross the tunnel, not the [B, T] preds
     t3 = time()
-    preds_h, vol_h, len_h = jax.device_get((preds, vol, lengths))
-    active = (np.arange(seq_length - 1)[None, :] <
-              np.asarray(len_h)[:, None]).astype(np.float64)
-    err2 = np.where(active > 0,
-                    (preds_h - vol_h[:, 1:]) ** 2, 0.0)
-    mse_orig = (err2.sum(0) / np.maximum(active.sum(0), 1.0)).mean()
-    rmse_orig = float(np.sqrt(mse_orig) / MAX_VALUE * 100.0)
-    rmse_all = float(np.sqrt(err2.sum() / active.sum()) / MAX_VALUE * 100.0)
+    rmse_orig, rmse_all = jax.device_get(
+        _factual_rmse(preds, vol, lengths))
+    rmse_orig, rmse_all = float(rmse_orig), float(rmse_all)
     t_metric = time() - t3
 
     names = ['x0', 'u0', 'u1']

@@ -463,15 +463,30 @@ class SINDyRegressor(CausalEstimator):
 
         def solve(prev_c, statics_c, arms_c, lengths_c):
             if cfg.insite_solver == 'gauss_newton':
-                if self._use_pallas() and active_idx:
+                if (self._use_pallas() and active_idx
+                        and not getattr(self, '_pallas_failed', False)):
                     # one fused rollout+sensitivity kernel per LM
                     # iteration instead of jvp-through-scan
-                    return insite_gn_finetune_predict_pallas(
-                        self.library, coefs, prev_c, statics_c, arms_c,
-                        lengths_c, self.dt, lam=cfg.lam,
-                        projection_horizon=projection_horizon,
-                        gn_iters=cfg.gn_iters, y_clip=self._y_clip(),
-                        active_idx=active_idx)
+                    try:
+                        out = insite_gn_finetune_predict_pallas(
+                            self.library, coefs, prev_c, statics_c, arms_c,
+                            lengths_c, self.dt, lam=cfg.lam,
+                            projection_horizon=projection_horizon,
+                            gn_iters=cfg.gn_iters, y_clip=self._y_clip(),
+                            active_idx=active_idx)
+                        if not getattr(self, '_pallas_validated', False):
+                            # surface async compile/VMEM failures HERE so
+                            # the fallback below can still catch them
+                            jax.block_until_ready(out)
+                            self._pallas_validated = True
+                        return out
+                    except Exception as e:   # kernel lowering/VMEM failure
+                        self._pallas_failed = True
+                        import logging
+                        logging.getLogger('insite_tpu').warning(
+                            '[sindy] pallas sensitivity fine-tune failed '
+                            '(%s: %s); falling back to the XLA scan path',
+                            type(e).__name__, e)
                 return insite_gn_finetune_predict(
                     self.library, coefs, prev_c, statics_c, arms_c,
                     lengths_c, self.dt, lam=cfg.lam,

@@ -173,3 +173,40 @@ def test_pallas_gn_finetune_matches_xla_gn():
                                rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x),
                                rtol=5e-4, atol=1e-4)
+
+
+def test_pallas_finetune_failure_falls_back_to_xla(monkeypatch):
+    """A sensitivity-kernel failure on the real backend degrades to the
+    XLA fine-tune (warned once, memoized) instead of killing the sweep or
+    bench — the kernel is validated in interpret mode on CPU, so its
+    first hardware lowering happens inside a driver run."""
+    from insite_tpu.data import PkpdDatasetCollection
+    from insite_tpu.models import sindy as sindy_mod
+
+    coll = PkpdDatasetCollection(
+        conf_coeff=2.0, num_patients={'train': 24, 'val': 4, 'test': 2},
+        equation_str='EQ_4_D', seed=0)
+    kw = dict(dataset_name='EQ_4_D', sindy_threshold=0.1, sindy_alpha=0.5,
+              lam=10.0, insite=True)
+    ref = sindy_mod.SINDyRegressor(
+        sindy_mod.SINDyConfig(**kw, rollout_backend='xla'), coll) \
+        .fit(coll.train_f)
+    p_ref = np.asarray(ref._fine_tune(coll.train_f, 1)[0])
+
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError('RESOURCE_EXHAUSTED: vmem')
+
+    monkeypatch.setattr(sindy_mod, 'insite_gn_finetune_predict_pallas',
+                        boom)
+    m = sindy_mod.SINDyRegressor(
+        sindy_mod.SINDyConfig(**kw, rollout_backend='pallas'), coll) \
+        .fit(coll.train_f)
+    p, _ = m._fine_tune(coll.train_f, 1)
+    assert getattr(m, '_pallas_failed', False)
+    np.testing.assert_allclose(np.asarray(p), p_ref, rtol=1e-7, atol=1e-9)
+    # memoized: a second fine-tune does not retry the broken kernel
+    m._fine_tune(coll.train_f, 1)
+    assert len(calls) == 1
