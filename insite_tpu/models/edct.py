@@ -25,24 +25,27 @@ from insite_tpu.models.nn.training import TrainConfig
 
 @dataclass
 class EDCTConfig:
-    """config/backbone/edct.yaml (no benchmark hparams shipped; defaults
-    follow the CT-scale settings)."""
+    """config/backbone/edct.yaml + benchmark_hparams/edct.yaml (the
+    shipped per-coeff overlays, e.g. edct_hparams/pkpd_sim_domain_conf/
+    2.yaml, equal the benchmark defaults — 2-layer 18-unit encoder,
+    2-layer bottleneck decoder with br_size 3 / fc 12 / dropout 0.2;
+    decoder d_model = encoder br_size, reference edct.py:306)."""
 
     dim_treatments: int = 2
     dim_static_features: int = 2
     dim_outcome: int = 1
-    enc_seq_hidden_units: int = 16
-    enc_br_size: int = 16
-    enc_fc_hidden_units: int = 32
+    enc_seq_hidden_units: int = 18
+    enc_br_size: int = 18
+    enc_fc_hidden_units: int = 18
     enc_dropout_rate: float = 0.1
     enc_learning_rate: float = 0.01
-    enc_batch_size: int = 64
-    dec_br_size: int = 16
-    dec_fc_hidden_units: int = 32
-    dec_dropout_rate: float = 0.1
+    enc_batch_size: int = 128
+    dec_br_size: int = 3
+    dec_fc_hidden_units: int = 12
+    dec_dropout_rate: float = 0.2
     dec_learning_rate: float = 0.001
     dec_batch_size: int = 512
-    num_layer: int = 1
+    num_layer: int = 2
     num_heads: int = 2
     max_relative_position: int = 15
     epochs: int = 100
