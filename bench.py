@@ -69,11 +69,18 @@ def wait_for_backend():
     """Bounded wait for the remote-TPU tunnel: a transient outage (or a
     sweep holding the single-client tunnel) must not zero a round's perf
     evidence. Probes in a SUBPROCESS so a failed backend init can't be
-    cached by this process's jax, and a wedged probe can be timed out."""
+    cached by this process's jax, and a wedged probe can be timed out.
+
+    Returns the suffix to append to the metric name: '' when the TPU
+    answered, '_cpu_fallback' when the wait budget expired and the bench
+    degraded to the host backend (the workload is identical — same 10k
+    cohort, same programs — only the device differs, and the metric name
+    says so). Disable with BENCH_CPU_FALLBACK=0 to keep the old abort."""
     import subprocess
     if _PLATFORM == "cpu":
-        return                      # host backend: nothing to wait for
-    wait_budget = float(os.environ.get("BENCH_WAIT_S", 7200))
+        return "_cpu"               # host backend requested explicitly
+    wait_budget = float(os.environ.get("BENCH_WAIT_S", 1800))
+    fallback = os.environ.get("BENCH_CPU_FALLBACK", "1") != "0"
     deadline = time() + wait_budget
     tries = 0
     while True:
@@ -86,10 +93,17 @@ def wait_for_backend():
                 if tries > 1:
                     print(f"[bench] backend answered on probe {tries}",
                           file=sys.stderr, flush=True)
-                return
+                return ""
         except subprocess.TimeoutExpired:
             pass
         if time() >= deadline:
+            if fallback:
+                print(f"[bench] TPU tunnel unavailable after "
+                      f"{wait_budget:.0f}s ({tries} probes) — degrading to "
+                      f"the host backend (metric suffixed _cpu_fallback)",
+                      file=sys.stderr, flush=True)
+                jax.config.update("jax_platforms", "cpu")
+                return "_cpu_fallback"
             print(f"[bench] backend unavailable after {wait_budget:.0f}s "
                   f"({tries} probes) — aborting", file=sys.stderr,
                   flush=True)
