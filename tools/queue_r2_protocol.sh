@@ -15,7 +15,7 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/markers
 DS_ALL="cancer_sim EQ_5_A EQ_5_B EQ_5_C EQ_5_D EQ_4_A EQ_4_B EQ_4_C EQ_4_D"
-DEADLINE=${QUEUE_DEADLINE:-1787085000}   # ~75 min before round end
+DEADLINE=${QUEUE_DEADLINE:-1787127600}   # 08:20 UTC Aug 19, pre-bench margin
 remaining() { echo $(( DEADLINE - $(date +%s) )); }
 budget() {  # min(cap, remaining); prints 0 when out of time
   local cap="$1" rem; rem=$(remaining)
@@ -67,6 +67,19 @@ fi
 
 run_method edct $DS_ALL
 run_method rmsn $DS_ALL
+# insite/sindy 10-seed vectorized MAIN_TABLE columns (the flagship rows:
+# EQ_4_A/EQ_4_C had ZERO protocol rows before round 3; the CPU queue
+# part 4 lands these too, but the TPU columns are authoritative if both
+# run — newest-wins dedup keeps whichever finished last)
+if [ ! -f logs/markers/r2m_insite_sindy ] && [ "$(budget 14400)" -gt 0 ]; then
+  wait_tpu
+  echo "[queue] $(date +%T) vectorized insite+sindy main-table columns" \
+    >> logs/queue_r2.log
+  timeout "$(budget 14400)" python run.py --vectorized \
+    --methods insite sindy --datasets $DS_ALL --seeds 10 --epochs 100 \
+    --no-debug >> logs/queue_r2.log 2>&1 \
+    && touch logs/markers/r2m_insite_sindy
+fi
 # ct covers ALL datasets: the 20:45 EQ_5_B/EQ_5_C columns died on the
 # Aug-17 tunnel outage with zero completed rows (logs/run-20260817-202020
 # ERROR), so nothing ct-related is actually banked

@@ -5,7 +5,7 @@
 # driver's end-of-round bench needs it.
 set -u
 cd "$(dirname "$0")/.."
-DEADLINE=${WATCHDOG_DEADLINE:-1787084100}   # 20:15 UTC
+DEADLINE=${WATCHDOG_DEADLINE:-1787127000}   # 08:10 UTC Aug 19
 while true; do
   if [ "$(date +%s)" -ge "$DEADLINE" ]; then
     echo "[watchdog] $(date +%T) deadline; stopping probes (leave the" \
