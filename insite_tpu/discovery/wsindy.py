@@ -47,16 +47,13 @@ def _test_functions(n_windows: int, window_len: int, t_len: int, seed=0,
     return starts, phi_k, dphi_k
 
 
-def weak_sindy_fit(volumes, statics, lengths, library, dt,
-                   threshold: float, n_windows: int = 100,
-                   window_len: int = 30, sr3_iters: int = 1000,
-                   trajectory_mask=None, seed: int = 0,
-                   solver: str = 'stlsq'):
-    """Fit coefficients by weak-form regression + SR3-l1.
+def weak_system(volumes, statics, lengths, library, dt,
+                n_windows: int = 100, window_len: int = 30,
+                trajectory_mask=None, seed: int = 0):
+    """Build the flattened weak-form linear system (A, b, sample_weight).
 
     volumes: [B, T] padded; statics: [B, S]; lengths: [B] valid lengths.
     trajectory_mask: [B] bool — which trajectories feed this arm's system.
-    Returns coefficients [F].
     """
     B, T = volumes.shape
     window_len = min(window_len, T)
@@ -89,9 +86,127 @@ def weak_sindy_fit(volumes, statics, lengths, library, dt,
     w = ok_win.reshape(-1).astype(volumes.dtype)
     A = rhs.reshape(-1, rhs.shape[-1])
     b = lhs.reshape(-1)
+    return A, b, w
+
+
+def weak_sindy_fit(volumes, statics, lengths, library, dt,
+                   threshold: float, n_windows: int = 100,
+                   window_len: int = 30, sr3_iters: int = 1000,
+                   trajectory_mask=None, seed: int = 0,
+                   solver: str = 'stlsq'):
+    """Fit coefficients [F] by weak-form regression at one threshold."""
+    A, b, w = weak_system(volumes, statics, lengths, library, dt,
+                          n_windows=n_windows, window_len=window_len,
+                          trajectory_mask=trajectory_mask, seed=seed)
     if solver == 'sr3':
         return sr3_l1(A, b, w, threshold, max_iter=sr3_iters)
     return weak_stlsq(A, b, w, threshold)
+
+
+def weak_sindy_fit_select(volumes, statics, lengths, library, dt,
+                          thresholds, flat_theta, flat_y, sample_w,
+                          alphas=None, select_tol: float = 0.05,
+                          n_windows: int = 100, window_len: int = 30,
+                          trajectory_mask=None, seed: int = 0):
+    """Threshold-grid weak-form fit with strong-form model selection.
+
+    The hard threshold of `weak_stlsq` acts in correlation units on
+    near-collinear weak columns, and at an unlucky cohort draw a single
+    fixed threshold can land on a degenerate support (EQ_4_D seed 6: the
+    dominant x0*u0 term is dropped, mass moves to u0 and u0*u1, and the
+    counterfactual RMSE blows up 100x while 9/10 seeds beat the
+    reference).  The reference's pysindy SR3(l1) path is equally
+    threshold-sensitive — it simply never hits the bad basin on its 10
+    shipped seeds.  Robust, protocol-clean fix: fit the SAME weak system
+    at a small grid of thresholds (one vmapped solve) and keep the
+    candidate whose STRONG-form residual on the training samples
+    (flat_theta @ c vs the finite-difference derivative flat_y, the data
+    SINDy itself trains on — no validation or test information) is
+    within `select_tol` of the best, preferring the sparsest such model
+    (larger threshold breaks nnz ties).  Fully traceable: used verbatim
+    by the vectorized seed columns.
+
+    thresholds: [G] ascending; flat_theta [N, F], flat_y [N],
+    sample_w [N] — this arm's strong-form design from `_eq4_design`.
+    Returns coefficients [F].
+    """
+    A, b, w = weak_system(volumes, statics, lengths, library, dt,
+                          n_windows=n_windows, window_len=window_len,
+                          trajectory_mask=trajectory_mask, seed=seed)
+    thresholds = jnp.asarray(thresholds, A.dtype)
+    if alphas is None:
+        alphas = jnp.full_like(thresholds, 0.5)
+    else:
+        alphas = jnp.asarray(alphas, A.dtype)
+    cands = jax.vmap(lambda th, al: weak_stlsq(A, b, w, th, alpha=al))(
+        thresholds, alphas)
+    resid = flat_theta @ cands.T - flat_y[:, None]            # [N, G]
+    wn = jnp.maximum(jnp.sum(sample_w), 1.0)
+    rmse = jnp.sqrt(jnp.sum(resid * resid * sample_w[:, None], axis=0) / wn)
+    nnz = jnp.sum(jnp.abs(cands) > 1e-12, axis=-1)            # [G]
+    admissible = rmse <= jnp.min(rmse) * (1.0 + select_tol)
+    G = thresholds.shape[0]
+    # min nnz among admissible; equal-nnz ties -> larger threshold (later
+    # grid index); all-zero candidates (nnz=0 fits nothing) only if no
+    # alternative is admissible
+    nnz_eff = jnp.where(nnz > 0, nnz, jnp.iinfo(jnp.int32).max // 2)
+    key = jnp.where(admissible, nnz_eff * G + (G - 1 - jnp.arange(G)),
+                    jnp.iinfo(jnp.int32).max)
+    return cands[jnp.argmin(key)]
+
+
+def weak_stlsq_host(A, b, sample_weight, threshold, alpha: float = 0.5,
+                    max_iter: int = 20):
+    """`weak_stlsq` semantics in HOST float64 (numpy).
+
+    The weak system's whitened normal equations are too ill-conditioned
+    for an f32 solve: at unlucky cohort draws the f32 Gram loses the
+    dominant term's correlation entirely and the support collapses at
+    EVERY threshold (EQ_4_D seed 6 — the f64 solve recovers the true
+    model at the same thresholds).  The strong-form path already solves
+    on host f64 (`stlsq_hostsolve`); this is the weak-form analog.
+    Inputs are numpy arrays (device_get'd once by the caller)."""
+    A64 = np.asarray(A, np.float64) * np.asarray(sample_weight,
+                                                 np.float64)[:, None]
+    b64 = np.asarray(b, np.float64) * np.asarray(sample_weight, np.float64)
+    norms = np.sqrt((A64 * A64).sum(0))
+    norms[norms == 0] = 1.0
+    An = A64 / norms
+    bn = b64 / max(np.linalg.norm(b64), 1e-300)
+    G = An.T @ An
+    rhs = An.T @ bn
+    F = A64.shape[1]
+    eye = np.eye(F)
+    mask = np.ones(F, bool)
+    for _ in range(max_iter):
+        m = mask.astype(np.float64)
+        Gm = G * np.outer(m, m) + np.diag(1.0 - m) + alpha * eye
+        c = np.linalg.solve(Gm, rhs * m)
+        mask = np.abs(c) > threshold
+    m = mask.astype(np.float64)
+    Gw = A64.T @ A64
+    Gr = Gw * np.outer(m, m) + np.diag(1.0 - m) + \
+        1e-12 * np.trace(Gw) / F * eye
+    c_raw = np.linalg.solve(Gr, (A64.T @ b64) * m)
+    return np.where(mask, c_raw, 0.0)
+
+
+def weak_select_host(cands, grid, flat_theta, flat_y, sample_w,
+                     select_tol: float = 0.05):
+    """Host-side candidate selection: sparsest model whose strong-form
+    training residual is within `select_tol` of the best (equal nnz ->
+    larger threshold).  Mirrors `weak_sindy_fit_select`'s traced rule."""
+    cands = np.asarray(cands, np.float64)              # [G, F]
+    th = np.asarray(flat_theta, np.float64)
+    y = np.asarray(flat_y, np.float64)
+    w = np.asarray(sample_w, np.float64)
+    resid = th @ cands.T - y[:, None]
+    rmse = np.sqrt((resid * resid * w[:, None]).sum(0) / max(w.sum(), 1.0))
+    nnz = (np.abs(cands) > 1e-12).sum(-1)
+    admissible = rmse <= rmse.min() * (1.0 + select_tol)
+    order = np.lexsort((-np.asarray(grid), np.where(nnz > 0, nnz, 10**9)))
+    g = next(int(i) for i in order if admissible[i])
+    return cands[g], g
 
 
 @partial(jax.jit, static_argnames=('max_iter',))

@@ -71,13 +71,31 @@ def _one_seed(key, equation, n_train, n_test, seq_length, conf_coeff,
     arms = treatments[:, :-1].astype(jnp.int32)
     eff_len = jnp.maximum(lengths - 1, 2)
     if wsindy:
-        # weak-form discovery (models/sindy.py::_fit_weak, EQ_4 only)
-        from insite_tpu.discovery.wsindy import weak_sindy_fit
+        # weak-form discovery + threshold-grid strong-form selection —
+        # exactly models/sindy.py::_fit_weak with wsindy_select=True (the
+        # SINDyConfig default), so the vectorized column reproduces the
+        # standard path
+        from insite_tpu.discovery.wsindy import weak_sindy_fit_select
+        from insite_tpu.models.sindy import SINDyConfig
+        import numpy as _np
+        _c = SINDyConfig()
+        _ths = _np.repeat(_np.asarray(_c.wsindy_threshold_grid, float),
+                          len(_c.wsindy_alpha_grid))
+        _als = _np.tile(_np.asarray(_c.wsindy_alpha_grid, float),
+                        len(_c.wsindy_threshold_grid))
+        grid = jnp.asarray(_ths, volumes.dtype) * threshold
+        alphas = jnp.asarray(_als, volumes.dtype)
+        flat_theta, flat_y, flat_ok, flat_arm = _eq4_design(
+            volumes, statics, arms, eff_len, dt, library=library,
+            joint=False, smooth=True, fd_order=4)
         arm0 = arms[:, 0]
         coefs = jnp.stack([
-            weak_sindy_fit(volumes, statics, eff_len, library, dt,
-                           threshold=threshold,
-                           trajectory_mask=(arm0 == a))
+            weak_sindy_fit_select(
+                volumes, statics, eff_len, library, dt, grid,
+                flat_theta, flat_y,
+                (flat_ok & (flat_arm == a)).astype(flat_theta.dtype),
+                alphas=alphas, select_tol=_c.wsindy_select_tol,
+                trajectory_mask=(arm0 == a))
             for a in range(2)])
     else:
         flat_theta, flat_y, flat_ok, flat_arm = _eq4_design(

@@ -57,6 +57,22 @@ class SINDyConfig:
     ablation_more_complex_basis_functions: bool = False
     sindy_quantize: bool = False
     sindy_quantize_global_model_round_to: int = 2
+    # WSINDy threshold-grid model selection (discovery/wsindy.py::
+    # weak_sindy_fit_select): fit the weak system at sindy_threshold x
+    # each multiplier in ONE vmapped solve, keep the sparsest candidate
+    # whose strong-form training residual is within wsindy_select_tol of
+    # the best.  Guards against the hard threshold landing on a
+    # degenerate support at unlucky cohort draws (EQ_4_D seed 6).
+    wsindy_select: bool = True
+    wsindy_threshold_grid: tuple = (0.25, 0.5, 1.0, 2.0, 4.0)
+    # the whitened ridge's alpha is in correlation units; 0.5 (the
+    # strong-form default) over-shrinks near-collinear weak columns and
+    # can collapse the support at unlucky cohort draws (EQ_4_D seed 6:
+    # the alpha=0.5 solution scores a 500x worse weak residual than the
+    # alpha=0.05 one at every threshold) — so alpha joins the candidate
+    # grid and the strong-form score picks per arm
+    wsindy_alpha_grid: tuple = (0.5, 0.05, 0.005)
+    wsindy_select_tol: float = 0.05
     projection_horizon: int = 5
     treatment_mode: str = 'multiclass'
     max_stlsq_iter: int = 100   # reference STLSQ max_iter (sindy.py:190)
@@ -310,7 +326,8 @@ class SINDyRegressor(CausalEstimator):
         eff_len = jnp.asarray(np.maximum(lengths - offset, 2))
         if cfg.wsindy:
             return self._fit_weak(vol_j, jnp.asarray(statics),
-                                  jnp.asarray(arms), eff_len)
+                                  jnp.asarray(arms), eff_len,
+                                  fd_order=fd_order, smooth=smooth)
 
         flat_theta, flat_y, flat_ok, flat_arm = _eq4_design(
             vol_j, jnp.asarray(statics), jnp.asarray(arms), eff_len,
@@ -353,18 +370,56 @@ class SINDyRegressor(CausalEstimator):
             coefs.append(jnp.asarray(c, flat_theta.dtype))
         return jnp.stack(coefs)
 
-    def _fit_weak(self, volumes, statics, arms, eff_len):
-        from insite_tpu.discovery.wsindy import weak_sindy_fit
+    def _fit_weak(self, volumes, statics, arms, eff_len, fd_order=4,
+                  smooth=True):
+        """Weak-form discovery, solved on host in f64 (the weak normal
+        equations are beyond f32 — discovery/wsindy.py::weak_stlsq_host),
+        with threshold-grid model selection scored on the strong-form
+        training residual (wsindy_select)."""
+        from insite_tpu.discovery.wsindy import (weak_system,
+                                                 weak_stlsq_host,
+                                                 weak_select_host)
         cfg = self.cfg
-        coefs = []
         arm0 = arms[:, 0]
+        if cfg.wsindy_select:
+            ths = np.asarray(cfg.wsindy_threshold_grid, float) * \
+                cfg.sindy_threshold
+            als = np.asarray(cfg.wsindy_alpha_grid, float)
+            grid = np.repeat(ths, len(als))          # [G] thresholds
+            alphas = np.tile(als, len(ths))          # [G] paired alphas
+        else:
+            grid = np.asarray([cfg.sindy_threshold])
+            alphas = np.asarray([0.5])
+        # device: weak systems for every arm + the strong-form scoring
+        # design, pulled in ONE batched device_get (remote-TPU transfers
+        # stall per dispatch, CLAUDE.md)
+        flat_theta, flat_y, flat_ok, flat_arm = _eq4_design(
+            volumes, statics, arms, eff_len, self.dt,
+            library=self.library, joint=cfg.joint_model, smooth=smooth,
+            fd_order=fd_order)
+        systems = []
         for a in range(self._n_arms):
             sel = None if cfg.joint_model else (arm0 == a)
-            c = weak_sindy_fit(volumes, statics, eff_len, self.library,
-                               self.dt, threshold=cfg.sindy_threshold,
-                               trajectory_mask=sel)
+            systems.append(weak_system(volumes, statics, eff_len,
+                                       self.library, self.dt,
+                                       trajectory_mask=sel))
+        host = jax.device_get((systems, flat_theta, flat_y, flat_ok,
+                               flat_arm))
+        systems_np, theta_np, y_np, ok_np, armf_np = host
+        coefs = []
+        for a in range(self._n_arms):
+            A, b, w = systems_np[a]
+            cands = np.stack([weak_stlsq_host(A, b, w, t, alpha=al)
+                              for t, al in zip(grid, alphas)])
+            if len(grid) == 1:
+                coefs.append(cands[0])
+                continue
+            wa = (ok_np & ((armf_np == a) if not cfg.joint_model
+                           else True)).astype(np.float64)
+            c, _ = weak_select_host(cands, grid, theta_np, y_np, wa,
+                                    select_tol=cfg.wsindy_select_tol)
             coefs.append(c)
-        return jnp.stack(coefs)
+        return jnp.asarray(np.stack(coefs), volumes.dtype)
 
     # ------------------------------------------------------------------
     # prediction
