@@ -99,3 +99,100 @@ def test_smoothed_fd_on_noisy_decay():
     # noise floor; edges use one-sided windows and are a bit looser
     assert np.abs(d[4:-4] - d_true[4:-4]).max() < 0.1
     assert np.abs(d - d_true).max() < 0.5
+
+
+# ---------------------------------------------------------------------------
+# WSINDy threshold x alpha grid selection (EQ_4_D seed-6 regression class:
+# the whitened ridge at alpha=0.5 can collapse the weak support at unlucky
+# cohort draws; the grid + strong-form score must recover the true model)
+
+def _weak_fixture():
+    """20 noisy exponential decays x' = -x0 with 2 static features."""
+    from insite_tpu.discovery.wsindy import weak_system
+    rng = np.random.RandomState(0)
+    t = np.arange(59) / 6.0
+    x0 = rng.uniform(2.0, 10.0, size=20)
+    x = x0[:, None] * np.exp(-t)[None, :] + 0.01 * rng.randn(20, 59)
+    statics = rng.uniform(0.5, 2.0, size=(20, 2))
+    lib = PolynomialLibrary(n_inputs=3, degree=2, interaction_only=True)
+    A, b, w = weak_system(jnp.asarray(x), jnp.asarray(statics),
+                          jnp.asarray(np.full(20, 59)), lib, 1 / 6.0)
+    return A, b, w, lib
+
+
+def test_weak_stlsq_host_matches_device():
+    from insite_tpu.discovery.wsindy import weak_stlsq, weak_stlsq_host
+    A, b, w = _weak_fixture()[:3]
+    c_dev = np.asarray(weak_stlsq(A, b, w, 0.1))
+    c_host = weak_stlsq_host(np.asarray(A), np.asarray(b), np.asarray(w),
+                             0.1)
+    np.testing.assert_allclose(c_host, c_dev, atol=1e-4)
+
+
+def test_weak_grid_select_recovers_true_support():
+    from insite_tpu.discovery.wsindy import weak_stlsq_host, weak_select_host
+    A, b, w, lib = _weak_fixture()
+    ths = np.repeat([0.025, 0.05, 0.1, 0.2, 0.4], 3)
+    als = np.tile([0.5, 0.05, 0.005], 5)
+    cands = np.stack([weak_stlsq_host(np.asarray(A), np.asarray(b),
+                                      np.asarray(w), t, alpha=al)
+                      for t, al in zip(ths, als)])
+    # score on a strong-form design: exact derivative of the clean decay
+    rng = np.random.RandomState(1)
+    xs = rng.uniform(1.0, 10.0, size=500)
+    ss = rng.uniform(0.5, 2.0, size=(500, 2))
+    theta = np.asarray(lib(jnp.asarray(
+        np.concatenate([xs[:, None], ss], -1))))
+    y = -xs
+    c, g = weak_select_host(cands, ths, theta, y, np.ones(500))
+    # true model: x_dot = -x0 (feature index 1 of [1, x0, u0, u1, ...])
+    assert abs(c[1] + 1.0) < 0.02
+    assert np.abs(np.delete(c, 1)).max() < 0.02
+
+
+def test_weak_select_prefers_sparser_within_tol():
+    from insite_tpu.discovery.wsindy import weak_select_host
+    # two candidates fit equally well (to the noise floor); the sparser
+    # one must win the tie
+    rng = np.random.RandomState(0)
+    theta = np.eye(3).repeat(10, 0)
+    y = theta @ np.array([1.0, 0.0, 0.0]) + 0.01 * rng.randn(30)
+    cands = np.array([[1.0, 0.0, 0.001],    # denser, same noise floor
+                      [1.0, 0.0, 0.0]])     # sparser, within 5%
+    c, g = weak_select_host(cands, np.array([0.1, 0.2]), theta, y,
+                            np.ones(30), select_tol=0.05)
+    assert g == 1
+
+
+def test_weak_device_select_matches_host():
+    from insite_tpu.discovery.wsindy import (weak_stlsq_host,
+                                             weak_select_host)
+    from insite_tpu.discovery.wsindy import weak_stlsq
+    import jax
+    A, b, w, lib = _weak_fixture()
+    ths = np.repeat([0.05, 0.1, 0.2], 2)
+    als = np.tile([0.5, 0.05], 3)
+    rng = np.random.RandomState(1)
+    xs = rng.uniform(1.0, 10.0, size=200)
+    ss = rng.uniform(0.5, 2.0, size=(200, 2))
+    theta = np.asarray(lib(jnp.asarray(
+        np.concatenate([xs[:, None], ss], -1))))
+    y = -xs
+    cands = np.stack([weak_stlsq_host(np.asarray(A), np.asarray(b),
+                                      np.asarray(w), t, alpha=al)
+                      for t, al in zip(ths, als)])
+    c_host, _ = weak_select_host(cands, ths, theta, y, np.ones(200))
+    # the traced selection rule (vectorized wsindy column) agrees in f64
+    cands_dev = jax.vmap(
+        lambda th, al: weak_stlsq(A, b, w, th, alpha=al))(
+        jnp.asarray(ths), jnp.asarray(als))
+    resid = jnp.asarray(theta) @ cands_dev.T - jnp.asarray(y)[:, None]
+    rmse = jnp.sqrt(jnp.mean(resid * resid, axis=0))
+    nnz = jnp.sum(jnp.abs(cands_dev) > 1e-12, axis=-1)
+    admissible = rmse <= jnp.min(rmse) * 1.05
+    G = len(ths)
+    nnz_eff = jnp.where(nnz > 0, nnz, jnp.iinfo(jnp.int32).max // 2)
+    key = jnp.where(admissible, nnz_eff * G + (G - 1 - jnp.arange(G)),
+                    jnp.iinfo(jnp.int32).max)
+    c_dev = np.asarray(cands_dev[jnp.argmin(key)])
+    np.testing.assert_allclose(c_host, c_dev, atol=1e-4)
