@@ -48,7 +48,12 @@ run_std r3c5_rmsn_cancer 1500 rmsn 3 5 cancer_sim
 for ds in $DS7; do run_std "r3c5_rmsn_${ds}" 1500 rmsn 3 2 "$ds"; done
 # 2. gnet -> n=4 everywhere (~423 s/run, 2 runs/stage)
 for ds in $DS9; do run_std "r3c5_gnet_${ds}" 1500 gnet 2 2 "$ds"; done
-# 3. overflow, cheapest-first round-robin: +1 gnet seed, then +2 rmsn
+# 3. edct ZERO-cell fills (n=0 -> 1; ~1700 s/run — standalone table
+#    completeness, no reference cells exist to compare against)
+for ds in EQ_4_B EQ_4_C EQ_5_B EQ_5_D; do
+  run_std "r3c5_edct_${ds}" 2400 edct 1 0 "$ds"
+done
+# 4. overflow, cheapest-first round-robin: +1 gnet seed, then +2 rmsn
 for ds in $DS9; do run_std "r3c5_gnet2_${ds}" 900 gnet 1 4 "$ds"; done
 for ds in $DS7; do run_std "r3c5_rmsn2_${ds}" 1500 rmsn 2 5 "$ds"; done
 log "DONE (remaining $(remaining)s)"
