@@ -140,19 +140,32 @@ def weak_sindy_fit_select(volumes, statics, lengths, library, dt,
         alphas = jnp.asarray(alphas, A.dtype)
     cands = jax.vmap(lambda th, al: weak_stlsq(A, b, w, th, alpha=al))(
         thresholds, alphas)
+    return cands[weak_select_traced(cands, flat_theta, flat_y, sample_w,
+                                    select_tol=select_tol)]
+
+
+def weak_select_traced(cands, flat_theta, flat_y, sample_w,
+                       select_tol: float = 0.05):
+    """Traced candidate-selection rule: index of the sparsest candidate
+    whose strong-form training residual is within `select_tol` of the
+    best; equal nnz -> later grid index (larger threshold); an all-zero
+    candidate (nnz=0 fits nothing) only if no nonzero one is admissible.
+    Mirrors `weak_select_host` (unit-tested against it)."""
     resid = flat_theta @ cands.T - flat_y[:, None]            # [N, G]
     wn = jnp.maximum(jnp.sum(sample_w), 1.0)
     rmse = jnp.sqrt(jnp.sum(resid * resid * sample_w[:, None], axis=0) / wn)
     nnz = jnp.sum(jnp.abs(cands) > 1e-12, axis=-1)            # [G]
     admissible = rmse <= jnp.min(rmse) * (1.0 + select_tol)
-    G = thresholds.shape[0]
-    # min nnz among admissible; equal-nnz ties -> larger threshold (later
-    # grid index); all-zero candidates (nnz=0 fits nothing) only if no
-    # alternative is admissible
-    nnz_eff = jnp.where(nnz > 0, nnz, jnp.iinfo(jnp.int32).max // 2)
+    G, F = cands.shape
+    # the zero-support sentinel must stay small: F+1 sorts after every
+    # real support (nnz <= F) without overflowing the int32 key the way
+    # a huge constant would (iinfo.max//2 * G wraps NEGATIVE for G >= 2,
+    # which made an admissible null model win argmin — the exact
+    # collapse this selection exists to prevent)
+    nnz_eff = jnp.where(nnz > 0, nnz, F + 1)
     key = jnp.where(admissible, nnz_eff * G + (G - 1 - jnp.arange(G)),
-                    jnp.iinfo(jnp.int32).max)
-    return cands[jnp.argmin(key)]
+                    (F + 2) * G + G)
+    return jnp.argmin(key)
 
 
 def weak_stlsq_host(A, b, sample_weight, threshold, alpha: float = 0.5,
@@ -195,7 +208,10 @@ def weak_select_host(cands, grid, flat_theta, flat_y, sample_w,
                      select_tol: float = 0.05):
     """Host-side candidate selection: sparsest model whose strong-form
     training residual is within `select_tol` of the best (equal nnz ->
-    larger threshold).  Mirrors `weak_sindy_fit_select`'s traced rule."""
+    later grid index, i.e. larger threshold — and among one threshold's
+    alpha block, the later/smaller alpha, matching `weak_select_traced`
+    exactly).  `grid` is kept for the caller's logging only."""
+    del grid   # ordering is by index, same as the traced rule
     cands = np.asarray(cands, np.float64)              # [G, F]
     th = np.asarray(flat_theta, np.float64)
     y = np.asarray(flat_y, np.float64)
@@ -204,7 +220,8 @@ def weak_select_host(cands, grid, flat_theta, flat_y, sample_w,
     rmse = np.sqrt((resid * resid * w[:, None]).sum(0) / max(w.sum(), 1.0))
     nnz = (np.abs(cands) > 1e-12).sum(-1)
     admissible = rmse <= rmse.min() * (1.0 + select_tol)
-    order = np.lexsort((-np.asarray(grid), np.where(nnz > 0, nnz, 10**9)))
+    G = len(cands)
+    order = np.lexsort((-np.arange(G), np.where(nnz > 0, nnz, 10**9)))
     g = next(int(i) for i in order if admissible[i])
     return cands[g], g
 

@@ -183,16 +183,48 @@ def test_weak_device_select_matches_host():
                       for t, al in zip(ths, als)])
     c_host, _ = weak_select_host(cands, ths, theta, y, np.ones(200))
     # the traced selection rule (vectorized wsindy column) agrees in f64
+    from insite_tpu.discovery.wsindy import weak_select_traced
     cands_dev = jax.vmap(
         lambda th, al: weak_stlsq(A, b, w, th, alpha=al))(
         jnp.asarray(ths), jnp.asarray(als))
-    resid = jnp.asarray(theta) @ cands_dev.T - jnp.asarray(y)[:, None]
-    rmse = jnp.sqrt(jnp.mean(resid * resid, axis=0))
-    nnz = jnp.sum(jnp.abs(cands_dev) > 1e-12, axis=-1)
-    admissible = rmse <= jnp.min(rmse) * 1.05
-    G = len(ths)
-    nnz_eff = jnp.where(nnz > 0, nnz, jnp.iinfo(jnp.int32).max // 2)
-    key = jnp.where(admissible, nnz_eff * G + (G - 1 - jnp.arange(G)),
-                    jnp.iinfo(jnp.int32).max)
-    c_dev = np.asarray(cands_dev[jnp.argmin(key)])
+    g = weak_select_traced(cands_dev, jnp.asarray(theta), jnp.asarray(y),
+                           jnp.ones(200))
+    c_dev = np.asarray(cands_dev[g])
     np.testing.assert_allclose(c_host, c_dev, atol=1e-4)
+
+
+def test_weak_select_null_model_is_last_resort():
+    """Regression: the zero-support sentinel used to be iinfo.max//2,
+    whose *G key wrapped int32 NEGATIVE for G >= 2 — an admissible null
+    model then beat every real candidate at argmin.  When a nonzero
+    candidate is admissible, the null model must never win (and the
+    traced and host rules must agree on the pick)."""
+    import jax.numpy as jnp
+    from insite_tpu.discovery.wsindy import (weak_select_host,
+                                             weak_select_traced)
+    # y is mostly outside the column space: the best candidate improves
+    # the residual by only ~0.5%, so the null model IS admissible at 5%
+    theta = np.zeros((4, 3))
+    theta[:3, :3] = np.eye(3)
+    y = np.array([1.0, 0.0, 0.0, 10.0])
+    cands = np.array([[0.0, 0.0, 0.0],     # null: rmse ~ 10.05
+                      [1.0, 0.0, 0.0],     # nnz 1: rmse = 10.0 (best)
+                      [1.0, 1.0, 0.0]])    # nnz 2: rmse ~ 10.05
+    w = np.ones(4)
+    g_traced = int(weak_select_traced(jnp.asarray(cands),
+                                      jnp.asarray(theta), jnp.asarray(y),
+                                      jnp.asarray(w)))
+    _, g_host = weak_select_host(cands, np.array([0.1, 0.2, 0.4]), theta,
+                                 y, w)
+    assert g_traced == 1, "null model must not beat an admissible fit"
+    assert g_host == 1
+    # the null model IS picked when it is the only admissible candidate
+    # (all-noise target: no candidate reduces the residual)
+    y2 = np.array([0.0, 0.0, 0.0, 10.0])
+    # rmse(null) = 5.0; rmse(c1) = sqrt(116)/2 ~ 5.39 > 5.0 * 1.05:
+    # only the null model is admissible
+    cands2 = np.array([[0.0, 0.0, 0.0],
+                       [4.0, 0.0, 0.0]])
+    g2 = int(weak_select_traced(jnp.asarray(cands2), jnp.asarray(theta),
+                                jnp.asarray(y2), jnp.asarray(w)))
+    assert g2 == 0
