@@ -468,3 +468,28 @@ def test_vectorized_edct_matches_standard_path():
             m.get_normalised_n_step_rmses(coll.test_cf_treatment_seq))
         np.testing.assert_allclose(r_vec['decoder_test_rmse_6-step'][seed],
                                    n_step[-1], rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_vectorized_neural_tumor_family_smoke():
+    """The protocol queue's tumor-family columns (cancer_sim / EQ_5) run
+    the same vmapped dispatches as EQ_4 but with the 4-class chemo/radio
+    treatment layout and tumor scaling — smoke the enc-dec and RMSN
+    columns on tiny cohorts so a layout regression surfaces here, not
+    first in a 10-seed TPU sweep."""
+    import numpy as np
+    from insite_tpu.harness.vectorized_neural import (
+        vectorized_enc_dec_sweep, vectorized_rmsn_sweep)
+    num_patients = {'train': 40, 'val': 8, 'test': 6}
+    r = vectorized_enc_dec_sweep('edct', 'cancer_sim', n_seeds=2,
+                                 num_patients=num_patients, epochs=2,
+                                 eval_chunk=64)
+    for k, v in r.items():
+        assert v.shape == (2,) and np.isfinite(v).all(), ('edct', k)
+        assert (v < 50).all(), ('edct', k)
+    r = vectorized_rmsn_sweep('EQ_5_A', n_seeds=2,
+                              num_patients=num_patients, epochs=2,
+                              eval_chunk=64)
+    for k, v in r.items():
+        assert v.shape == (2,) and np.isfinite(v).all(), ('rmsn', k)
+        assert (v < 50).all(), ('rmsn', k)
