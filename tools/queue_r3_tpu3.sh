@@ -11,7 +11,13 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs/markers
 DEADLINE=${QUEUE_DEADLINE:?set QUEUE_DEADLINE epoch}
-remaining() { echo $(( DEADLINE - $(date +%s) )); }
+# live-extendable: echo a later epoch into logs/markers/deadline to extend
+# the window while the queue runs (read fresh on every check)
+remaining() {
+  local d
+  d=$(cat logs/markers/deadline 2>/dev/null || echo "$DEADLINE")
+  echo $(( d - $(date +%s) ))
+}
 budget() {
   local cap="$1" rem; rem=$(remaining)
   [ "$rem" -lt 600 ] && { echo 0; return; }
