@@ -53,6 +53,49 @@ def run_isolated(dataset_name: str, method_name: str, seed: int,
         f'{proc.stderr[-2000:]}')
 
 
+def run_isolated_column(dataset_name: str, method_name: str, cfg):
+    """Execute one vectorized (dataset, method) seed column in a fresh
+    interpreter; returns ``(r, seeds)`` with ``r`` mapping metric name ->
+    np.ndarray [S] (same contract as runner._vectorized_column).
+
+    Raises the parent-side runner.ColumnSkipped when the child reports the
+    column has no vectorized path, and RuntimeError on any other child
+    failure — a crashed/wedged TPU client in the child cannot poison the
+    parent's remaining columns (the round-3 failure mode).
+    """
+    import numpy as np
+    payload = json.dumps({
+        'mode': 'column',
+        'dataset_name': dataset_name,
+        'method_name': method_name,
+        'cfg': dataclasses.asdict(cfg),
+    })
+    import insite_tpu
+    pkg_parent = os.path.dirname(os.path.dirname(insite_tpu.__file__))
+    env = dict(os.environ)
+    env['PYTHONPATH'] = pkg_parent + os.pathsep + env.get('PYTHONPATH', '')
+    proc = subprocess.run(
+        [sys.executable, '-m', 'insite_tpu.harness.isolated'],
+        input=payload, capture_output=True, text=True, env=env)
+    # the child streams run.py-style log lines on stderr; surface them so
+    # the parent's sweep log keeps the per-column progress trail
+    if proc.stderr:
+        sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_MARKER):
+            out = json.loads(line[len(_MARKER):])
+            if out.get('skipped'):
+                from insite_tpu.harness.runner import ColumnSkipped
+                raise ColumnSkipped(out['skipped'])
+            r = {k: np.asarray(v, np.float64)
+                 for k, v in out['metrics'].items()}
+            return r, out['seeds']
+    raise RuntimeError(
+        f'isolated column ({dataset_name}, {method_name}) failed with '
+        f'exit code {proc.returncode}; stderr tail:\n'
+        f'{proc.stderr[-2000:]}')
+
+
 def _main():
     # honor JAX_PLATFORMS even though the container's sitecustomize already
     # imported jax and registered the TPU plugin (env alone is ignored at
@@ -66,6 +109,23 @@ def _main():
             jax.config.update('jax_enable_x64', True)
     spec = json.loads(sys.stdin.read())
     from insite_tpu.harness.config import RunConfig
+    if spec.get('mode') == 'column':
+        import numpy as np
+        from insite_tpu.harness.runner import (ColumnSkipped,
+                                               _vectorized_column)
+        try:
+            r, seeds = _vectorized_column(RunConfig.from_dict(spec['cfg']),
+                                          spec['dataset_name'],
+                                          spec['method_name'])
+        except ColumnSkipped as e:
+            print(_MARKER + json.dumps({'skipped': str(e)}), flush=True)
+            return
+        out = {'metrics': {k: np.asarray(v, np.float64).tolist()
+                           for k, v in r.items()
+                           if isinstance(v, np.ndarray) and v.ndim == 1},
+               'seeds': list(seeds)}
+        print(_MARKER + json.dumps(out), flush=True)
+        return
     from insite_tpu.harness.runner import Experiment, run_experiment
     result = run_experiment(spec['dataset_name'], spec['method_name'],
                             spec['seed'], spec['domain_conf'],

@@ -602,6 +602,73 @@ def _vectorized_grid_sweep(cfg: RunConfig, log=logger):
     return _results_df_and_tables(results)
 
 
+class ColumnSkipped(Exception):
+    """A (dataset, method) vectorized column has no applicable path (e.g.
+    wsindy outside the EQ_4 family, matching the reference's skip at
+    run.py:100-103)."""
+
+
+def _vectorized_column(cfg: RunConfig, dataset_name: str, method_name: str,
+                       log=logger):
+    """Compute one (dataset, method) vectorized seed column.
+
+    Returns ``(r, seeds)`` where ``r`` maps metric name -> np.ndarray [S]
+    and ``seeds`` lists the seed of each entry.  Raises ColumnSkipped when
+    the column has no vectorized path for this dataset.  Shared by the
+    in-process sweep and the ``--isolate`` subprocess child
+    (harness/isolated.py), so both execute the identical program.
+    """
+    S = cfg.seed_runs
+    if method_name in ('ct', 'crn', 'edct', 'rmsn', 'gnet'):
+        from insite_tpu.harness import vectorized_neural as vn
+        kw = dict(
+            n_seeds=S,
+            num_patients={'train': cfg.train_samples,
+                          'val': cfg.val_samples,
+                          'test': cfg.test_samples},
+            coeff=cfg.domain_conf, epochs=cfg.epochs,
+            seed_start=cfg.seed_start,
+            cf_seq_mode=cfg.cf_seq_mode,
+            noise_scale=cfg.noise_scale,
+            model_overrides=_merged_overrides(
+                cfg, method_name, dataset_name, cfg.domain_conf))
+        if method_name == 'ct':
+            r = vn.vectorized_ct_sweep(dataset_name, **kw)
+        elif method_name in ('crn', 'edct'):
+            r = vn.vectorized_enc_dec_sweep(method_name, dataset_name, **kw)
+        elif method_name == 'rmsn':
+            r = vn.vectorized_rmsn_sweep(dataset_name, **kw)
+        else:
+            r = vn.vectorized_gnet_sweep(
+                dataset_name, mc_samples=cfg.gnet_mc_samples, **kw)
+        seeds = list(range(cfg.seed_start, cfg.seed_start + S))
+    else:
+        if method_name == 'wsindy' and 'EQ_4' not in dataset_name:
+            raise ColumnSkipped(
+                'wsindy runs on the EQ_4 family only (run.py:100-103); '
+                f'skipping {dataset_name}')
+        thr, lam = sindy_params_for(dataset_name)
+        if cfg.seed_start:
+            log.warning('[vectorized] ODE columns always run seeds '
+                        '0..S-1 (PRNGKey-indexed); ignoring seed_start')
+        if 'EQ_4' in dataset_name:
+            from insite_tpu.harness.vectorized import vectorized_eq4_sweep
+            r = vectorized_eq4_sweep(
+                dataset_name, n_seeds=S, n_train=cfg.train_samples,
+                n_test=cfg.test_samples, conf_coeff=cfg.domain_conf,
+                threshold=thr, alpha=SINDY_ALPHA, lam=lam,
+                method=method_name)
+        else:
+            from insite_tpu.harness.vectorized import vectorized_tumor_sweep
+            r = vectorized_tumor_sweep(
+                dataset_name, n_seeds=S, n_train=cfg.train_samples,
+                n_test=cfg.test_samples, coeff=cfg.domain_conf,
+                threshold=thr, alpha=SINDY_ALPHA, lam=lam,
+                method=method_name)
+        seeds = list(range(S))
+    return r, seeds
+
+
 def vectorized_sweep(cfg: RunConfig, log=logger):
     """`run.py --vectorized`: each (dataset, method) benchmark column runs
     as ONE on-device multi-seed dispatch (harness/vectorized[_neural] —
@@ -614,6 +681,11 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
     `seed_start`. With `experiment=INSIGHT_CONFOUNDING` the whole
     (gamma, seed) grid runs via `vectorized_confounding_sweep` (one
     compiled program reused across gammas).
+
+    With ``cfg.isolate_runs`` each column executes in a fresh interpreter
+    (harness/isolated.py): a device-level failure — e.g. the TPU worker
+    crash that killed every column after the first in the round-3 queue —
+    costs one column, not the rest of the sweep.
     """
     _log_fingerprint(cfg, cfg.experiment, log)
     if cfg.experiment == 'INSIGHT_CONFOUNDING':
@@ -633,63 +705,14 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
                      f'{method_name}, {S} seeds)')
             t0 = time.perf_counter()
             try:
-                if method_name in ('ct', 'crn', 'edct', 'rmsn', 'gnet'):
-                    from insite_tpu.harness import vectorized_neural as vn
-                    kw = dict(
-                        n_seeds=S,
-                        num_patients={'train': cfg.train_samples,
-                                      'val': cfg.val_samples,
-                                      'test': cfg.test_samples},
-                        coeff=cfg.domain_conf, epochs=cfg.epochs,
-                        seed_start=cfg.seed_start,
-                        cf_seq_mode=cfg.cf_seq_mode,
-                        noise_scale=cfg.noise_scale,
-                        model_overrides=_merged_overrides(
-                            cfg, method_name, dataset_name,
-                            cfg.domain_conf))
-                    if method_name == 'ct':
-                        r = vn.vectorized_ct_sweep(dataset_name, **kw)
-                    elif method_name in ('crn', 'edct'):
-                        r = vn.vectorized_enc_dec_sweep(
-                            method_name, dataset_name, **kw)
-                    elif method_name == 'rmsn':
-                        r = vn.vectorized_rmsn_sweep(dataset_name, **kw)
-                    else:
-                        r = vn.vectorized_gnet_sweep(
-                            dataset_name, mc_samples=cfg.gnet_mc_samples,
-                            **kw)
-                    seeds = range(cfg.seed_start, cfg.seed_start + S)
+                if cfg.isolate_runs:
+                    from insite_tpu.harness.isolated import \
+                        run_isolated_column
+                    r, seeds = run_isolated_column(dataset_name,
+                                                   method_name, cfg)
                 else:
-                    if method_name == 'wsindy' and \
-                            'EQ_4' not in dataset_name:
-                        log.warning('[vectorized] wsindy runs on the EQ_4 '
-                                    'family only (run.py:100-103); '
-                                    f'skipping {dataset_name}')
-                        continue
-                    thr, lam = sindy_params_for(dataset_name)
-                    if cfg.seed_start:
-                        log.warning('[vectorized] ODE columns always run '
-                                    'seeds 0..S-1 (PRNGKey-indexed); '
-                                    'ignoring seed_start')
-                    if 'EQ_4' in dataset_name:
-                        from insite_tpu.harness.vectorized import \
-                            vectorized_eq4_sweep
-                        r = vectorized_eq4_sweep(
-                            dataset_name, n_seeds=S,
-                            n_train=cfg.train_samples,
-                            n_test=cfg.test_samples,
-                            conf_coeff=cfg.domain_conf, threshold=thr,
-                            alpha=SINDY_ALPHA, lam=lam, method=method_name)
-                    else:
-                        from insite_tpu.harness.vectorized import \
-                            vectorized_tumor_sweep
-                        r = vectorized_tumor_sweep(
-                            dataset_name, n_seeds=S,
-                            n_train=cfg.train_samples,
-                            n_test=cfg.test_samples, coeff=cfg.domain_conf,
-                            threshold=thr, alpha=SINDY_ALPHA, lam=lam,
-                            method=method_name)
-                    seeds = range(S)
+                    r, seeds = _vectorized_column(cfg, dataset_name,
+                                                  method_name, log)
                 secs = time.perf_counter() - t0
                 for i, seed in enumerate(seeds):
                     row = {k: float(v[i]) for k, v in r.items()
@@ -702,11 +725,15 @@ def vectorized_sweep(cfg: RunConfig, log=logger):
                                 'method_name': method_name,
                                 'domain_conf': cfg.domain_conf})
                     if method_name == 'rmsn':
-                        row['sw_mode'] = kw['model_overrides'].get(
-                            'sw_mode', 'likelihood') \
-                            if kw.get('model_overrides') else 'likelihood'
+                        ov = _merged_overrides(cfg, method_name,
+                                               dataset_name,
+                                               cfg.domain_conf)
+                        row['sw_mode'] = (ov or {}).get('sw_mode',
+                                                        'likelihood')
                     log.info(f'[Exp evaluation complete] {row}')
                     results.append(row)
+            except ColumnSkipped as e:
+                log.warning(f'[vectorized] {e}')
             except Exception as e:      # fault wall (run.py:159-169)
                 if cfg.debug_mode:
                     raise

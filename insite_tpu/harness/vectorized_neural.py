@@ -320,7 +320,7 @@ def _n_step_metrics(res, colls, predicted, n_rows):
 def vectorized_enc_dec_sweep(method: str, dataset_name: str,
                              n_seeds: int = 10, num_patients: dict = None,
                              coeff: float = 2.0, epochs: int = 100,
-                             seed_start: int = 0, eval_chunk: int = 8192,
+                             seed_start: int = 0, eval_chunk: int = 4096,
                              mesh=None,
                              cf_seq_mode: str = 'sliding_treatment',
                              noise_scale: float = 1.0,
@@ -342,6 +342,12 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
          autoregressive decoder n-step).
 
     Returns the same metric keys as run_experiment, one value per seed.
+
+    ``eval_chunk`` bounds the rows per seed-vmapped predict dispatch; the
+    encoder pass over the exploded decoder-training set is the HBM peak
+    of the whole column ([S, chunk, T, T] attention transients on top of
+    the training buffers) — 4096 keeps 10-seed columns comfortably inside
+    a v5e chip (8192 crashed the TPU worker on EQ_4_B in practice).
     """
     assert method in ('crn', 'edct')
     num_patients = num_patients or {'train': 1000, 'val': 100, 'test': 100}

@@ -71,6 +71,9 @@ def main():
         # JAX_PLATFORMS=cpu in the environment is not honored
         import jax
         jax.config.update('jax_platforms', 'cpu')
+        # --isolate children apply the env var themselves (isolated._main)
+        import os
+        os.environ['JAX_PLATFORMS'] = 'cpu'
 
     cfg = (RunConfig.from_yaml(args.config) if args.config else RunConfig())
     if args.methods:
