@@ -6,7 +6,7 @@
 # marker files); source changes are never auto-committed.
 set -u
 cd "$(dirname "$0")/.."
-DEADLINE=${AUTOCOMMIT_DEADLINE:-1787132400}   # 09:40 UTC Aug 19
+DEADLINE=${AUTOCOMMIT_DEADLINE:-1787173200}   # 21:00 UTC Aug 19 (round 4)
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   sleep 1200
   if ! git diff --quiet -- logs PROGRESS.jsonl 2>/dev/null \

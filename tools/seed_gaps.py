@@ -1,0 +1,114 @@
+"""Per-cell protocol seed-count accounting over the logs database.
+
+The sweep logs are the results database (reference
+utils/results_utils.py:108-172); this tool answers "which (dataset,
+method) main-table cells still need seed runs to reach n=N" so queue
+scripts dispatch only missing work and a re-run after a crash never
+repeats landed columns.
+
+Usage:
+    python tools/seed_gaps.py                     # full gap table
+    python tools/seed_gaps.py --method ct --list  # datasets with gaps,
+                                                  # space-separated (for
+                                                  # shell queues)
+Protocol filtering matches process_result_file.py --protocol: sweep
+fingerprints must be on-protocol (epochs=100, 1000/100/100 cohorts),
+rows must have gamma == 2 and no noise/train-sample overrides; newest
+row per (dataset, method, seed) wins by logging timestamp.
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+DATASETS = ('cancer_sim', 'EQ_5_A', 'EQ_5_B', 'EQ_5_C', 'EQ_5_D',
+            'EQ_4_A', 'EQ_4_B', 'EQ_4_C', 'EQ_4_D')
+METHODS = ('insite', 'sindy', 'wsindy', 'crn', 'msm', 'gnet', 'ct',
+           'rmsn', 'edct')
+PROTOCOL = {'epochs': 100, 'train_samples': 1000, 'val_samples': 100,
+            'test_samples': 100}
+
+
+def protocol_df(log_glob='logs/run-*.txt'):
+    import pandas as pd
+    from insite_tpu.harness.results import df_from_log
+    from insite_tpu.harness.runner import _read_sweep_fingerprints
+    frames = []
+    for path in sorted(glob.glob(log_glob)):
+        fps = _read_sweep_fingerprints(path)
+        if any(any(fp.get(k) != v for k, v in PROTOCOL.items())
+               for fp in fps):
+            continue
+        d = df_from_log(path, with_ts=True)
+        if not d.empty:
+            frames.append(d)
+    if not frames:
+        return pd.DataFrame()
+    df = pd.concat(frames, ignore_index=True)
+    key = [c for c in ('dataset_name', 'method_name', 'seed',
+                       'domain_conf', 'noise_scale', 'train_samples')
+           if c in df.columns]
+    df = df.sort_values('_log_ts', kind='stable') \
+        .drop_duplicates(subset=key, keep='last').reset_index(drop=True)
+    keep = df['domain_conf'].astype(float) == 2.0
+    if 'noise_scale' in df.columns:
+        keep &= df['noise_scale'].isna() | (df['noise_scale'] == 1.0)
+    if 'train_samples' in df.columns:
+        keep &= df['train_samples'].isna()
+    if 'errored' in df.columns:
+        keep &= ~df['errored'].fillna(False).astype(bool)
+    return df[keep].reset_index(drop=True)
+
+
+def counts(df):
+    out = {}
+    for m in METHODS:
+        for ds in DATASETS:
+            if m == 'wsindy' and 'EQ_4' not in ds:
+                out[(m, ds)] = None      # reference skips (run.py:100-103)
+                continue
+            sub = df[(df.method_name == m) & (df.dataset_name == ds)] \
+                if not df.empty else df
+            out[(m, ds)] = 0 if df.empty else int(sub.seed.nunique())
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--target', type=int, default=10)
+    p.add_argument('--method', default=None, choices=METHODS)
+    p.add_argument('--list', action='store_true',
+                   help='print only gap datasets, space-separated')
+    p.add_argument('--logs', default='logs/run-*.txt')
+    args = p.parse_args()
+
+    c = counts(protocol_df(args.logs))
+    if args.list:
+        if not args.method:
+            raise SystemExit('--list requires --method')
+        gaps = [ds for ds in DATASETS
+                if c[(args.method, ds)] is not None
+                and c[(args.method, ds)] < args.target]
+        print(' '.join(gaps))
+        return
+    methods = [args.method] if args.method else list(METHODS)
+    w = max(len(ds) for ds in DATASETS) + 2
+    print('method'.ljust(8) + ''.join(ds.ljust(w) for ds in DATASETS))
+    total = 0
+    for m in methods:
+        row = m.ljust(8)
+        for ds in DATASETS:
+            v = c[(m, ds)]
+            row += ('-' if v is None else str(v)).ljust(w)
+            if v is not None:
+                total += max(0, args.target - v)
+        print(row)
+    print(f'missing seed-runs to n={args.target}: {total}')
+
+
+if __name__ == '__main__':
+    main()
