@@ -144,23 +144,43 @@ def main():
 
     if mode == "fused":
         from insite_tpu.harness.northstar import fused_northstar
-        t0 = time()
+        # device-time attribution: after the timed pass, each device
+        # program is re-dispatched N times (compiled, inputs resident) and
+        # the min wall-clock reported — separates remote-tunnel stalls
+        # (spiky, filtered by the min) from code regressions. The repeats
+        # run OUTSIDE the timed window.
+        repeats = int(os.environ.get("BENCH_DEVICE_REPEATS", 2))
         r = fused_northstar(n_train, seed=0, equation_name='EQ_4_D',
-                            projection_horizon=1)
-        total = time() - t0
+                            projection_horizon=1,
+                            device_time_repeats=repeats)
+        # the repeats run after the timed stages; the headline wall metric
+        # is the sum of the four timed stages, as before
+        total = r['total']
         print(f"[bench] fused: sim+design+QR {r['t_sim_design']:.2f}s | "
               f"host STLSQ {r['t_stlsq']:.3f}s | fine-tune "
               f"{r['t_finetune']:.2f}s | metric {r['t_metric']:.2f}s",
               file=sys.stderr)
+        if 'device_sim_design_s' in r:
+            print(f"[bench] device-time (min of {repeats} re-dispatches): "
+                  f"sim+design+QR {r['device_sim_design_s']:.2f}s | "
+                  f"fine-tune {r['device_finetune_s']:.2f}s", file=sys.stderr)
         print(f"[bench] {r['global_equation_string']}", file=sys.stderr)
         print(f"[bench] factual normalised RMSE: orig={r['rmse_orig']:.4f}%"
               f" all={r['rmse_all']:.4f}%", file=sys.stderr)
-        print(json.dumps({
+        out = {
             "metric": "eq4_10k_simulate_discover_finetune_wall_s" + suffix,
             "value": round(total, 2),
             "unit": "s",
             "vs_baseline": round(60.0 / total, 3),
-        }))
+        }
+        if 'device_sim_design_s' in r:
+            out["device_time_s"] = {
+                "sim_design": round(r['device_sim_design_s'], 2),
+                "finetune": round(r['device_finetune_s'], 2),
+                "total": round(r['device_sim_design_s']
+                               + r['device_finetune_s'], 2),
+            }
+        print(json.dumps(out))
         return
 
     t0 = time()

@@ -92,10 +92,18 @@ def fused_northstar(n_train: int, seed: int = 0,
                     alpha: float = 0.5, lam: float = 10.0,
                     gn_iters: int = 12, projection_horizon: int = 1,
                     max_stlsq_iter: int = 100, use_pallas=None,
-                    dtype=None) -> dict:
+                    dtype=None, device_time_repeats: int = 0) -> dict:
     """The whole north-star workload (simulate + discover + fine-tune) in
     two device programs.  Returns coefs, per-stage timings and the factual
-    normalised RMSEs of the fine-tuned predictions."""
+    normalised RMSEs of the fine-tuned predictions.
+
+    With ``device_time_repeats`` > 0, each device program is re-dispatched
+    that many times after the timed pass (programs already compiled,
+    inputs already device-resident) and the MINIMUM wall-clock is reported
+    as ``device_sim_design_s`` / ``device_finetune_s``: the remote-TPU
+    tunnel stalls are spiky, so the min over re-dispatches approximates
+    device compute + one quiet round-trip, separating link noise from code
+    regressions (the 20.4 s vs 38.5 s same-code captures of round 3)."""
     from insite_tpu.core.dtypes import default_float
     dtype = dtype or default_float()
     if use_pallas is None:
@@ -122,6 +130,7 @@ def fused_northstar(n_train: int, seed: int = 0,
     arms = treat[:, :seq_length - 1].astype(jnp.int32)
     t2 = time()
     preds = None
+    ran_pallas = False
     if use_pallas and active_idx:
         try:
             preds, _ = insite_gn_finetune_predict_pallas(
@@ -129,6 +138,7 @@ def fused_northstar(n_train: int, seed: int = 0,
                 STANDARD_DT, lam=lam, projection_horizon=projection_horizon,
                 gn_iters=gn_iters, y_clip=None, active_idx=active_idx)
             preds.block_until_ready()
+            ran_pallas = True
         except Exception as e:  # first-TPU kernel lowering/VMEM failure:
             # the bench must degrade to the XLA path, not zero the round
             import sys
@@ -154,9 +164,40 @@ def fused_northstar(n_train: int, seed: int = 0,
     rmse_orig, rmse_all = float(rmse_orig), float(rmse_all)
     t_metric = time() - t3
 
+    device_times = {}
+    if device_time_repeats > 0:
+        reps = []
+        for _ in range(device_time_repeats):
+            ta = time()
+            tri2, _unused = _sim_design_qr(
+                jax.random.PRNGKey(seed), n_train, seq_length,
+                equation_name, library, conf_coeff, dtype)
+            tri2[0][0].block_until_ready()
+            reps.append(time() - ta)
+        device_times['device_sim_design_s'] = min(reps)
+        reps = []
+        for _ in range(device_time_repeats):
+            ta = time()
+            if ran_pallas:
+                p2, _unused = insite_gn_finetune_predict_pallas(
+                    library, jnp.asarray(coefs), prev, statics, arms,
+                    lengths, STANDARD_DT, lam=lam,
+                    projection_horizon=projection_horizon,
+                    gn_iters=gn_iters, y_clip=None, active_idx=active_idx)
+            else:
+                p2, _unused = insite_gn_finetune_predict(
+                    library, jnp.asarray(coefs), prev, statics, arms,
+                    lengths, STANDARD_DT, lam=lam,
+                    projection_horizon=projection_horizon, joint=False,
+                    gn_iters=gn_iters, y_clip=None, active_idx=active_idx)
+            p2.block_until_ready()
+            reps.append(time() - ta)
+        device_times['device_finetune_s'] = min(reps)
+
     names = ['x0', 'u0', 'u1']
     eq_strs = [library.pretty_equation(coefs[a], names) for a in range(2)]
     return {
+        **device_times,
         'coefs': coefs,
         'global_equation_string': ' | '.join(
             f'Treatment {a}: x_dot = {s}' for a, s in enumerate(eq_strs)),
