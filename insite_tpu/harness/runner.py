@@ -487,9 +487,11 @@ def _results_df_and_tables(results):
     return df, generate_main_results_table(df)
 
 
-# (dataset, method) columns the vectorized on-device paths cover
+# (dataset, method) columns the vectorized paths cover (neural/ODE
+# methods on device; msm as seed-batched host-f64 solves —
+# harness/vectorized_msm.py)
 VECTORIZED_METHODS = ('insite', 'sindy', 'wsindy', 'ct', 'crn', 'edct',
-                      'rmsn', 'gnet')
+                      'rmsn', 'gnet', 'msm')
 
 
 def _vectorized_confounding_sweep(cfg: RunConfig, log=logger):
@@ -619,6 +621,19 @@ def _vectorized_column(cfg: RunConfig, dataset_name: str, method_name: str,
     (harness/isolated.py), so both execute the identical program.
     """
     S = cfg.seed_runs
+    if method_name == 'msm':
+        from insite_tpu.harness.vectorized_msm import vectorized_msm_sweep
+        r = vectorized_msm_sweep(
+            dataset_name, n_seeds=S,
+            num_patients={'train': cfg.train_samples,
+                          'val': cfg.val_samples,
+                          'test': cfg.test_samples},
+            coeff=cfg.domain_conf, epochs=cfg.epochs,
+            seed_start=cfg.seed_start, cf_seq_mode=cfg.cf_seq_mode,
+            noise_scale=cfg.noise_scale,
+            model_overrides=_merged_overrides(
+                cfg, method_name, dataset_name, cfg.domain_conf))
+        return r, list(range(cfg.seed_start, cfg.seed_start + S))
     if method_name in ('ct', 'crn', 'edct', 'rmsn', 'gnet'):
         from insite_tpu.harness import vectorized_neural as vn
         kw = dict(

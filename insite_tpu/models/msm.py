@@ -229,7 +229,11 @@ class MSM(CausalEstimator):
             [0.5 * np.ones((n, lag, self.cfg.dim_treatments)), probs],
             axis=1)
 
-    def _fit_propensity(self, which):
+    def _propensity_design(self, which):
+        """Valid exploded-row (inputs, targets) for one propensity model —
+        the design half of _fit_propensity, shared with the vectorized
+        multi-seed column (harness/vectorized_msm.py) so both paths solve
+        the identical system."""
         lag = self.lag_features
         d = self.collection.train_f.data
         valid = self._valid_rows(d, lag).reshape(-1)
@@ -242,29 +246,42 @@ class MSM(CausalEstimator):
         inputs = inputs.reshape(-1, inputs.shape[-1])[valid]
         ct = np.asarray(d['current_treatments'], np.float64)
         outputs = ct[:, lag:].reshape(-1, ct.shape[-1])[valid]
+        return inputs, outputs
+
+    def _fit_propensity(self, which):
+        inputs, outputs = self._propensity_design(which)
         return logistic_fit(inputs, outputs, self.cfg.max_epochs)
 
-    def fit(self, train_f=None, val_f=None):
-        cfg = self.cfg
+    def compute_stabilized_weights(self):
+        """SW = prod_k p_treat / p_hist on the training set (msm.py
+        reference fit order) — requires fitted propensity models."""
         coll = self.collection
-        self.prop_treat = self._fit_propensity('treat')
-        self.prop_hist = self._fit_propensity('hist')
-
         pt = self.get_propensity_scores(coll.train_f, 'treat')
         ph_ = self.get_propensity_scores(coll.train_f, 'hist')
         coll.train_f.data['stabilized_weights'] = np.prod(pt / ph_, axis=2)
 
-        d = coll.train_f.data
+    def _regressor_design(self, tau):
+        """Valid exploded-row (inputs, targets, sample weights) for the
+        horizon-tau regressor — requires stabilized_weights set."""
+        d = self.collection.train_f.data
         lag = self.lag_features
         outs = np.asarray(d['outputs'], np.float64)
+        valid = self._valid_rows(d, lag + tau)            # [n, T-lag-tau]
+        inputs = self._dense_regressor(d, tau=tau)[:, tau:]
+        flat = inputs.reshape(-1, inputs.shape[-1])[valid.reshape(-1)]
+        outputs = outs[:, lag + tau:].reshape(
+            -1, outs.shape[-1])[valid.reshape(-1)]
+        sw = self._dense_sample_weights(d, tau)[valid]
+        return flat, outputs, sw
+
+    def fit(self, train_f=None, val_f=None):
+        cfg = self.cfg
+        self.prop_treat = self._fit_propensity('treat')
+        self.prop_hist = self._fit_propensity('hist')
+        self.compute_stabilized_weights()
         self.regressors = []
         for tau in range(cfg.projection_horizon + 1):
-            valid = self._valid_rows(d, lag + tau)        # [n, T-lag-tau]
-            inputs = self._dense_regressor(d, tau=tau)[:, tau:]
-            flat = inputs.reshape(-1, inputs.shape[-1])[valid.reshape(-1)]
-            outputs = outs[:, lag + tau:].reshape(
-                -1, outs.shape[-1])[valid.reshape(-1)]
-            sw = self._dense_sample_weights(d, tau)[valid]
+            flat, outputs, sw = self._regressor_design(tau)
             self.regressors.append(linreg_fit(flat, outputs, sw))
         return self
 
