@@ -558,19 +558,40 @@ class SINDyRegressor(CausalEstimator):
         if chunk is None and cfg.ablation_more_complex_basis_functions:
             chunk = 2048
         n = prev.shape[0]
-        if chunk and self.mesh is not None and n > chunk:
-            # chunking would fight the row sharding (each host-side chunk
-            # re-lays-out the sharded arrays); the whole-cohort program
-            # dispatches instead — flag it, since chunking exists to bound
-            # the A*F-tangent Jacobian HBM of the degree-4 library
-            import logging
-            logging.getLogger('insite_tpu').warning(
-                '[sindy] finetune_chunk=%d ignored on the mesh path: '
-                'dispatching the whole %d-row fine-tune unchunked (the '
-                'degree-4 ablation may exceed per-chip HBM; shard over '
-                'more chips or run unmeshed)', chunk, n)
-        if not chunk or self.mesh is not None or n <= chunk:
+        if not chunk or n <= chunk:
             return solve(prev, statics, arms, lengths)
+        if self.mesh is not None:
+            # row-chunked fine-tune composed with the mesh: each chunk is
+            # a host slice padded to the (mesh-multiple) chunk size and
+            # re-sharded over the batch axis, so the A*F-tangent Jacobian
+            # HBM bound of the degree-4 library holds PER CHIP while every
+            # chip works on every chunk. The inputs are tiny ([rows, T]);
+            # only the fine-tune program's transient Jacobian is large, so
+            # per-chunk host->device placement costs nothing measurable.
+            from insite_tpu.parallel import shard_rows
+            ndev = self.mesh.devices.size
+            chunk = -(-chunk // ndev) * ndev
+            hp, hs, ha, hl = [np.asarray(a) for a in
+                              jax.device_get((prev, statics, arms,
+                                              lengths))]
+            preds_l, coefs_l = [], []
+            for i in range(0, n, chunk):
+                take = min(chunk, n - i)
+
+                def padded(x):
+                    xs = x[i:i + take]
+                    if take < chunk:
+                        xs = np.concatenate(
+                            [xs, np.repeat(xs[-1:], chunk - take, axis=0)])
+                    return xs
+
+                args_c, _ = shard_rows(
+                    (padded(hp), padded(hs), padded(ha), padded(hl)),
+                    self.mesh)
+                p, c = solve(*args_c)
+                preds_l.append(p[:take])
+                coefs_l.append(c[:take])
+            return jnp.concatenate(preds_l), jnp.concatenate(coefs_l)
         preds_l, coefs_l = [], []
         for i in range(0, n, chunk):
             take = min(chunk, n - i)

@@ -111,3 +111,31 @@ def test_sharded_stlsq_matches_unsharded(mesh):
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_true),
                                rtol=0.05, atol=0.02)
+
+
+def test_mesh_chunked_finetune_matches_unmeshed(mesh):
+    """finetune_chunk composes with the batch mesh (round-3 weak #3: the
+    mesh path used to warn-and-ignore the chunk, so the degree-4 ablation
+    could hard-fault HBM): each chunk is host-sliced, padded to a
+    mesh-multiple, re-sharded, and solved — results must match the
+    unmeshed, unchunked fine-tune on the degree-4 library."""
+    from insite_tpu.data import make_collection
+    from insite_tpu.models.sindy import SINDyConfig, SINDyRegressor
+
+    np.random.seed(0)
+    coll = make_collection('EQ_4_A', {'train': 24, 'val': 4, 'test': 4},
+                           0, coeff=2.0, treatment_mode='multilabel')
+    coll.process_data_multi()
+
+    def build(mesh_, chunk):
+        cfg = SINDyConfig(dataset_name='EQ_4_A', sindy_threshold=0.1,
+                          sindy_alpha=0.5, lam=10.0, insite=True,
+                          ablation_more_complex_basis_functions=True,
+                          finetune_chunk=chunk, gn_iters=4)
+        m = SINDyRegressor(cfg, coll, mesh=mesh_)
+        m.fit(coll.train_f)
+        return m
+
+    ref = build(None, None)._fine_tuned_rollout(coll.test_cf_one_step, 1)
+    got = build(mesh, 64)._fine_tuned_rollout(coll.test_cf_one_step, 1)
+    np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-9)
