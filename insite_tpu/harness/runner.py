@@ -556,9 +556,9 @@ def _vectorized_grid_sweep(cfg: RunConfig, log=logger):
     grid_key = 'noise_scale' if noise_exp else 'train_samples'
     results = []
     for method_name in cfg.methods:
-        if method_name not in ('insite', 'sindy'):
+        if method_name not in ('insite', 'sindy', 'wsindy'):
             log.warning(f'[vectorized] {cfg.experiment} has a vectorized '
-                        f'path for insite/sindy only; skipping '
+                        f'path for the ODE methods only; skipping '
                         f'{method_name}')
             continue
         S = cfg.seed_runs
