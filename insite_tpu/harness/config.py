@@ -31,8 +31,11 @@ class RunConfig:
     domain_conf: float = 2.0
     seed_start: int = 0
     seed_runs: int = 10
+    # the reference's ct_methods_to_evaluate plus edct, which it ships as
+    # a runnable backbone (config/backbone/edct.yaml) but leaves out of
+    # its default list — our main table carries a measured edct column
     methods: tuple = ('insite', 'sindy', 'wsindy', 'crn', 'msm', 'gnet',
-                      'ct', 'rmsn')
+                      'ct', 'rmsn', 'edct')
     datasets: tuple = ('cancer_sim', 'EQ_5_A', 'EQ_5_B', 'EQ_5_C', 'EQ_5_D',
                        'EQ_4_A', 'EQ_4_B', 'EQ_4_C', 'EQ_4_D')
     domain_confs: tuple = (0, 1, 2, 3, 4)
