@@ -502,10 +502,10 @@ def _vectorized_confounding_sweep(cfg: RunConfig, log=logger):
     from insite_tpu.harness.vectorized import vectorized_confounding_sweep
     results = []
     for method_name in cfg.methods:
-        if method_name not in ('insite', 'sindy'):
+        if method_name not in ('insite', 'sindy', 'wsindy'):
             log.warning(f'[vectorized] INSIGHT_CONFOUNDING has a '
-                        f'vectorized path for insite/sindy only; skipping '
-                        f'{method_name}')
+                        f'vectorized path for the ODE methods only; '
+                        f'skipping {method_name}')
             continue
         S = cfg.seed_runs
         thr, lam = sindy_params_for('EQ_4_D')

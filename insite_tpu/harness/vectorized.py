@@ -299,14 +299,16 @@ def vectorized_confounding_sweep(equation_str: str = 'EQ_4_D',
     seed grid) as ONE dispatch: conf_coeff is a traced scalar in the
     per-seed pipeline, so the whole (gamma, seed) grid is a nested vmap.
     Returns {'gammas': [G], '<metric>': [G, S] arrays}."""
-    assert 'EQ_4' in equation_str and method in ('insite', 'sindy')
+    assert 'EQ_4' in equation_str and method in ('insite', 'sindy',
+                                                 'wsindy')
     keys = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
     gam = jnp.asarray(gammas, jnp.float32)
 
     def for_gamma(g):
         return _sweep_jit(keys, equation_str, n_train, n_test, seq_length,
                           g, float(threshold), float(alpha), float(lam),
-                          method == 'insite', gn_iters, projection_horizon)
+                          method == 'insite', gn_iters, projection_horizon,
+                          wsindy=(method == 'wsindy'))
 
     # one dispatch per gamma (vmapping the full gamma x seed grid exhausts
     # the TPU worker at 5 x 10 pipeline instances, same limit as the tumor
