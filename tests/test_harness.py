@@ -194,12 +194,13 @@ def test_vectorized_sweep_logs_standard_rows(tmp_path):
     log = create_logger_in_process(log_path)
     df, tables = vectorized_sweep(cfg, log=log)
     sub = df[~df.errored.astype(bool)]
-    # msm has no vectorized path -> skipped with a warning, not errored
-    assert set(sub.method_name) == {'sindy'} and len(sub) == 2
+    # every requested method has a vectorized column (msm via the
+    # seed-batched host solves, harness/vectorized_msm.py)
+    assert set(sub.method_name) == {'sindy', 'msm'} and len(sub) == 4
     assert np.isfinite(sub.encoder_test_rmse_orig).all()
     assert np.isfinite(sub['decoder_test_rmse_6-step']).all()
     parsed = df_from_log(log_path)
-    assert len(parsed[~parsed.errored.astype(bool)]) == 2
+    assert len(parsed[~parsed.errored.astype(bool)]) == 4
     assert tables
 
 
