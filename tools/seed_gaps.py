@@ -83,10 +83,34 @@ def main():
     p.add_argument('--method', default=None, choices=METHODS)
     p.add_argument('--list', action='store_true',
                    help='print only gap datasets, space-separated')
+    p.add_argument('--plan', action='store_true',
+                   help='print "dataset seed_start count" lines covering '
+                        'the missing seeds of --method (for standard-path '
+                        'top-up loops)')
     p.add_argument('--logs', default='logs/run-*.txt')
     args = p.parse_args()
 
-    c = counts(protocol_df(args.logs))
+    df = protocol_df(args.logs)
+    c = counts(df)
+    if args.plan:
+        if not args.method:
+            raise SystemExit('--plan requires --method')
+        for ds in DATASETS:
+            if c[(args.method, ds)] is None:
+                continue
+            have = set() if df.empty else set(
+                df[(df.method_name == args.method)
+                   & (df.dataset_name == ds)].seed.astype(int))
+            missing = [s for s in range(args.target) if s not in have]
+            # one line per consecutive missing-seed run
+            while missing:
+                start = missing[0]
+                k = 1
+                while k < len(missing) and missing[k] == start + k:
+                    k += 1
+                print(f'{ds} {start} {k}')
+                missing = missing[k:]
+        return
     if args.list:
         if not args.method:
             raise SystemExit('--list requires --method')
