@@ -117,6 +117,9 @@ def main():
         gaps = [ds for ds in DATASETS
                 if c[(args.method, ds)] is not None
                 and c[(args.method, ds)] < args.target]
+        # thinnest cells first: going 0 -> 10 adds more evidence than
+        # 5 -> 10, and a stage timeout then costs the least-valuable tail
+        gaps.sort(key=lambda ds: c[(args.method, ds)])
         print(' '.join(gaps))
         return
     methods = [args.method] if args.method else list(METHODS)
