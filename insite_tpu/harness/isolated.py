@@ -22,6 +22,20 @@ import sys
 _MARKER = 'ISOLATED_RESULT:'
 
 
+def _die_with_parent():
+    """preexec hook: deliver SIGTERM to the child when its parent dies.
+
+    The sweep queues bound stages with `timeout`, which signals only the
+    direct child (run.py) — without this, an isolated column grandchild
+    is orphaned and keeps holding the single-client TPU tunnel, wedging
+    every later stage's wait-for-tunnel loop."""
+    import ctypes
+    import signal
+    PR_SET_PDEATHSIG = 1
+    ctypes.CDLL('libc.so.6', use_errno=True).prctl(PR_SET_PDEATHSIG,
+                                                   signal.SIGTERM)
+
+
 def run_isolated(dataset_name: str, method_name: str, seed: int,
                  domain_conf: float, cfg, experiment) -> dict:
     """Execute one run_experiment in a fresh interpreter, return its
@@ -41,9 +55,16 @@ def run_isolated(dataset_name: str, method_name: str, seed: int,
     pkg_parent = os.path.dirname(os.path.dirname(insite_tpu.__file__))
     env = dict(os.environ)
     env['PYTHONPATH'] = pkg_parent + os.pathsep + env.get('PYTHONPATH', '')
-    proc = subprocess.run(
-        [sys.executable, '-m', 'insite_tpu.harness.isolated'],
-        input=payload, capture_output=True, text=True, env=env)
+    timeout_s = float(os.environ.get('ISOLATED_TIMEOUT_S', 0)) or None
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-m', 'insite_tpu.harness.isolated'],
+            input=payload, capture_output=True, text=True, env=env,
+            preexec_fn=_die_with_parent, timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError(
+            f'isolated run timed out after {timeout_s:.0f}s '
+            f'(ISOLATED_TIMEOUT_S); child killed') from e
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith(_MARKER):
             return json.loads(line[len(_MARKER):])
@@ -74,9 +95,16 @@ def run_isolated_column(dataset_name: str, method_name: str, cfg):
     pkg_parent = os.path.dirname(os.path.dirname(insite_tpu.__file__))
     env = dict(os.environ)
     env['PYTHONPATH'] = pkg_parent + os.pathsep + env.get('PYTHONPATH', '')
-    proc = subprocess.run(
-        [sys.executable, '-m', 'insite_tpu.harness.isolated'],
-        input=payload, capture_output=True, text=True, env=env)
+    timeout_s = float(os.environ.get('ISOLATED_TIMEOUT_S', 0)) or None
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-m', 'insite_tpu.harness.isolated'],
+            input=payload, capture_output=True, text=True, env=env,
+            preexec_fn=_die_with_parent, timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError(
+            f'isolated run timed out after {timeout_s:.0f}s '
+            f'(ISOLATED_TIMEOUT_S); child killed') from e
     # the child streams run.py-style log lines on stderr; surface them so
     # the parent's sweep log keeps the per-column progress trail
     if proc.stderr:
