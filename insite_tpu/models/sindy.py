@@ -91,6 +91,11 @@ class SINDyConfig:
     # 'auto': fused Pallas Euler+library kernel for forward prediction
     # rollouts on TPU (4x faster than the XLA scan at counterfactual-test
     # scale), XLA scan elsewhere; 'xla' / 'pallas' force a backend.
+    # NOTE: joint_model (ABLATION_ONE_ODE) and mesh-sharded regressors
+    # always take the XLA scan — the kernel folds patients onto the
+    # sublane x lane grid, which supports neither the joint multi-state
+    # library nor a row sharding (see _use_pallas). Multi-device kernel
+    # coverage comes from shard_map in __graft_entry__.dryrun_multichip.
     rollout_backend: str = 'auto'
     # fine-tune row chunking: rows per fine-tune dispatch (None = whole
     # cohort in one program; auto-set to 2048 for the degree-4 ablation,
