@@ -58,7 +58,8 @@ def _shard_seed_axis(tree, mesh):
         lambda a: jax.device_put(a, sharding), tree)
 
 
-def _predict_chunked(predict, params, data, chunk, mesh=None):
+def _predict_chunked(predict, params, data, chunk, mesh=None,
+                     fetch_every=0):
     """Run a seed-vmapped predict over row chunks of [S, N, ...] arrays.
 
     The CT attention maps materialize as [S, heads, T, T, N]-shaped
@@ -68,12 +69,18 @@ def _predict_chunked(predict, params, data, chunk, mesh=None):
     batched device_get. With a `mesh`, chunks are placed sharded over the
     seed axis so each chip evaluates only its own seeds.
 
+    `fetch_every` > 0 drains the accumulated chunk outputs to the host
+    every that-many chunks instead of holding all of them on device for
+    one batched fetch — more tunnel round-trips, but bounds resident HBM
+    to ~fetch_every chunk outputs (the EDCT columns crashed the TPU
+    worker with the accumulate-everything default).
+
     `predict` may return one array or any pytree of [S, rows, ...] arrays
     (e.g. (outcome, br) tuples); chunks are concatenated per leaf.
     """
     n = next(iter(data.values())).shape[1]
     chunk = min(chunk, n)
-    outs = []
+    outs, fetched = [], []
     for start in range(0, n, chunk):
         end = min(start + chunk, n)
         piece = {}
@@ -87,9 +94,12 @@ def _predict_chunked(predict, params, data, chunk, mesh=None):
                 jax.device_put(p, _seed_sharding(mesh))
         outs.append(jax.tree_util.tree_map(lambda o: o[:, :end - start],
                                            predict(params, piece)))
-    outs = jax.device_get(outs)
+        if fetch_every and len(outs) >= fetch_every:
+            fetched.extend(jax.device_get(outs))
+            outs = []
+    fetched.extend(jax.device_get(outs))
     return jax.tree_util.tree_map(
-        lambda *xs: np.concatenate(xs, axis=1), *outs)
+        lambda *xs: np.concatenate(xs, axis=1), *fetched)
 
 
 def _stage_rngs(seeds):
@@ -350,6 +360,14 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     a v5e chip (8192 crashed the TPU worker on EQ_4_B in practice).
     """
     assert method in ('crn', 'edct')
+    fetch_every = 0
+    if method == 'edct':
+        # the EDCT transformer's seed-vmapped eval crashed the TPU worker
+        # twice at the 1-step-eval dispatch (round 3 at chunk 8192, round
+        # 4 at 4096) — cap the chunk and drain outputs eagerly so resident
+        # HBM stays far from the edge
+        eval_chunk = min(eval_chunk, 1024)
+        fetch_every = 4
     num_patients = num_patients or {'train': 1000, 'val': 100, 'test': 100}
     seeds = list(range(seed_start, seed_start + n_seeds))
     if mesh is not None:
@@ -406,7 +424,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
         stacked, rows = _stack_padded([ds.data for ds in ds_list],
                                       enc.input_keys)
         op, br = _predict_chunked(enc_predict, enc_params, stacked,
-                                  eval_chunk, mesh=mesh)
+                                  eval_chunk, mesh=mesh,
+                                  fetch_every=fetch_every)
         for s, ds in enumerate(ds_list):
             shims[s].put(ds, br[s, :rows[s]], op[s, :rows[s]])
     for c, shim in zip(colls, shims):
@@ -433,7 +452,7 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     one_step, n_rows = _stack_padded(
         [c.test_cf_one_step.data for c in colls], enc.input_keys)
     op, _ = _predict_chunked(enc_predict, enc_params, one_step, eval_chunk,
-                             mesh=mesh)
+                             mesh=mesh, fetch_every=fetch_every)
     _one_step_metrics(res, colls, op, n_rows)
 
     # ---- n-step eval (autoregressive decoder, crn.py:212-224) -----------
@@ -450,7 +469,7 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
                          np.float32)
     for t in range(ph):
         out, _ = _predict_chunked(dec_predict, dec_params, ar, eval_chunk,
-                                  mesh=mesh)
+                                  mesh=mesh, fetch_every=fetch_every)
         predicted[:, :, t] = out[:, :, t]
         if t < ph - 1:
             ar['prev_outputs'][:, :, t + 1, :] = out[:, :, t, :]
