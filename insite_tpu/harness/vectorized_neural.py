@@ -27,8 +27,16 @@ from insite_tpu.eval.metrics import (normalised_masked_rmse,
 from insite_tpu.models.ct import _BATCH_KEYS
 
 
-def _stack_padded(dicts, keys):
-    """Stack per-seed data dicts to [S, N_max, ...], zero-padding rows."""
+def _stack_padded(dicts, keys, repeat_pad=False):
+    """Stack per-seed data dicts to [S, N_max, ...], padding rows.
+
+    Zero padding (default) keeps padded rows inert under the masked
+    training losses. For EVAL stacks pass repeat_pad=True: padded rows
+    repeat the seed's last real row, so no row is fully masked (an
+    all-zero active_entries row makes every attention position masked —
+    a degenerate program the TPU runtime handled badly on the EDCT
+    columns); padded outputs are discarded via the returned row counts
+    either way."""
     n_rows = [np.asarray(d[keys[0]]).shape[0] for d in dicts]
     n_max = max(n_rows)
     out = {}
@@ -38,8 +46,9 @@ def _stack_padded(dicts, keys):
             v = np.asarray(d[k], np.float32)
             pad = n_max - v.shape[0]
             if pad:
-                v = np.concatenate(
-                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                filler = np.repeat(v[-1:], pad, axis=0) if repeat_pad \
+                    else np.zeros((pad,) + v.shape[1:], v.dtype)
+                v = np.concatenate([v, filler])
             leaves.append(v)
         out[k] = np.stack(leaves)
     return out, n_rows
@@ -87,8 +96,10 @@ def _predict_chunked(predict, params, data, chunk, mesh=None,
         for k, v in data.items():
             p = v[:, start:end]
             if end - start < chunk:
-                pad = np.zeros((p.shape[0], chunk - (end - start))
-                               + p.shape[2:], p.dtype)
+                # repeat the last row rather than zero-fill: an all-zero
+                # row is fully attention-masked (degenerate program); the
+                # padded outputs are sliced off right below either way
+                pad = np.repeat(p[:, -1:], chunk - (end - start), axis=1)
                 p = np.concatenate([p, pad], axis=1)
             piece[k] = jnp.asarray(p) if mesh is None else \
                 jax.device_put(p, _seed_sharding(mesh))
@@ -422,7 +433,7 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
         for c, ds in zip(colls, ds_list):
             c._process(ds)
         stacked, rows = _stack_padded([ds.data for ds in ds_list],
-                                      enc.input_keys)
+                                      enc.input_keys, repeat_pad=True)
         op, br = _predict_chunked(enc_predict, enc_params, stacked,
                                   eval_chunk, mesh=mesh,
                                   fetch_every=fetch_every)
@@ -450,7 +461,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     res = {'encoder_test_rmse_orig': [], 'encoder_test_rmse_all': [],
            'encoder_test_rmse_last': []}
     one_step, n_rows = _stack_padded(
-        [c.test_cf_one_step.data for c in colls], enc.input_keys)
+        [c.test_cf_one_step.data for c in colls], enc.input_keys,
+        repeat_pad=True)
     op, _ = _predict_chunked(enc_predict, enc_params, one_step, eval_chunk,
                              mesh=mesh, fetch_every=fetch_every)
     _one_step_metrics(res, colls, op, n_rows)
@@ -464,7 +476,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
         if method == 'edct':
             ad['encoder_r'] = np.array(ds.encoder_r)
         ar_list.append(ad)
-    ar, ar_rows = _stack_padded(ar_list, list(ar_list[0]))
+    ar, ar_rows = _stack_padded(ar_list, list(ar_list[0]),
+                                repeat_pad=True)
     predicted = np.zeros((n_seeds, ar['prev_outputs'].shape[1], ph, do),
                          np.float32)
     for t in range(ph):
