@@ -7,8 +7,12 @@ set -u
 cd "$(dirname "$0")/.."
 M=${1:?method}
 DEADLINE=${CPU_DEADLINE:-$(( $(date +%s) + 36000 ))}
+# CPU_FILL_REVERSE=1: take cells from the END of the plan — lets the CPU
+# lane work toward the TPU queue from the opposite side of the dataset
+# list so the two lanes meet in the middle instead of colliding
+PICK=${CPU_FILL_REVERSE:+tail}; PICK=${PICK:-head}
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  line=$(python tools/seed_gaps.py --method "$M" --plan | head -1)
+  line=$(python tools/seed_gaps.py --method "$M" --plan | $PICK -1)
   [ -z "$line" ] && { echo "[cpu_fill] $M complete"; break; }
   set -- $line
   ds=$1; start=$2; count=$3
