@@ -95,9 +95,11 @@ def main():
     if args.plan:
         if not args.method:
             raise SystemExit('--plan requires --method')
-        for ds in DATASETS:
-            if c[(args.method, ds)] is None:
-                continue
+        # thinnest cells first (same rationale as --list): a fill loop
+        # cut short by its budget costs the least-valuable tail
+        order = [ds for ds in DATASETS if c[(args.method, ds)] is not None]
+        order.sort(key=lambda ds: c[(args.method, ds)])
+        for ds in order:
             have = set() if df.empty else set(
                 df[(df.method_name == args.method)
                    & (df.dataset_name == ds)].seed.astype(int))
@@ -114,6 +116,17 @@ def main():
     if args.list:
         if not args.method:
             raise SystemExit('--list requires --method')
+        # vectorized quarantine: methods listed in this marker file never
+        # enter a vectorized TPU stage (round 4: edct's vectorized columns
+        # fault the TPU worker; its cells are filled via the standard
+        # per-seed path instead — see tools/queue_r4c.sh)
+        try:
+            with open('logs/markers/vectorized_exclude') as f:
+                if args.method in {l.strip() for l in f if l.strip()}:
+                    print('')
+                    return
+        except OSError:
+            pass
         gaps = [ds for ds in DATASETS
                 if c[(args.method, ds)] is not None
                 and c[(args.method, ds)] < args.target]
@@ -138,4 +151,7 @@ def main():
 
 
 if __name__ == '__main__':
+    # queue scripts pipe us into head/tail; dying mid-print is expected
+    import signal
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     main()
