@@ -87,11 +87,47 @@ def main():
                    help='print "dataset seed_start count" lines covering '
                         'the missing seeds of --method (for standard-path '
                         'top-up loops)')
+    p.add_argument('--next-cell', action='store_true',
+                   help='print the globally thinnest incomplete main-table '
+                        'cell as "method dataset n mode start k": mode is '
+                        '"std" for methods quarantined in logs/markers/'
+                        'vectorized_exclude (start/k = first missing seed '
+                        'range), else "vec". Empty output = all cells full.')
     p.add_argument('--logs', default='logs/run-*.txt')
     args = p.parse_args()
 
     df = protocol_df(args.logs)
     c = counts(df)
+    if args.next_cell:
+        excl = set()
+        try:
+            with open('logs/markers/vectorized_exclude') as f:
+                excl = {l.strip() for l in f if l.strip()}
+        except OSError:
+            pass
+        # tie order at equal n: proven-cheap methods before the
+        # transformer families (edct's vectorized columns fault the TPU
+        # worker; ct's are unproven on-device this round)
+        tie = ('insite', 'sindy', 'wsindy', 'crn', 'msm', 'gnet', 'rmsn',
+               'ct', 'edct')
+        cells = [(c[(m, ds)], tie.index(m), DATASETS.index(ds), m, ds)
+                 for m in tie for ds in DATASETS
+                 if c[(m, ds)] is not None and c[(m, ds)] < args.target
+                 and not os.path.exists(f'logs/markers/parked/{m}.{ds}')]
+        if not cells:
+            return
+        n, _, _, m, ds = min(cells)
+        mode = 'std' if m in excl else 'vec'
+        have = set() if df.empty else set(
+            df[(df.method_name == m) & (df.dataset_name == ds)]
+            .seed.astype(int))
+        missing = [s for s in range(args.target) if s not in have]
+        start = missing[0]
+        k = 1
+        while k < len(missing) and missing[k] == start + k:
+            k += 1
+        print(f'{m} {ds} {n} {mode} {start} {k}')
+        return
     if args.plan:
         if not args.method:
             raise SystemExit('--plan requires --method')
