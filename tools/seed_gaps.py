@@ -107,16 +107,20 @@ def main():
             pass
         # tie order at equal n: proven-cheap methods before the
         # transformer families (edct's vectorized columns fault the TPU
-        # worker; ct's are unproven on-device this round)
+        # worker; ct's are unproven on-device this round). The flagship
+        # method's cells get a -2 thinness bonus: an incomplete INSITE
+        # main-table column costs the paper's own story more than a
+        # baseline's, and its columns are ~10x cheaper than neural ones.
         tie = ('insite', 'sindy', 'wsindy', 'crn', 'msm', 'gnet', 'rmsn',
                'ct', 'edct')
-        cells = [(c[(m, ds)], tie.index(m), DATASETS.index(ds), m, ds)
+        cells = [(c[(m, ds)] - (2 if m == 'insite' else 0),
+                  tie.index(m), DATASETS.index(ds), m, ds, c[(m, ds)])
                  for m in tie for ds in DATASETS
                  if c[(m, ds)] is not None and c[(m, ds)] < args.target
                  and not os.path.exists(f'logs/markers/parked/{m}.{ds}')]
         if not cells:
             return
-        n, _, _, m, ds = min(cells)
+        _, _, _, m, ds, n = min(cells)
         mode = 'std' if m in excl else 'vec'
         have = set() if df.empty else set(
             df[(df.method_name == m) & (df.dataset_name == ds)]
