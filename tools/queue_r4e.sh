@@ -89,7 +89,11 @@ while :; do
     [ "$t" -eq 0 ] && break
     echo "[queue4e] $(date +%T) std $m $ds seeds $start+$k (n=$n," \
       "budget ${t}s)" >> "$QLOG"
-    timeout "$t" python run.py --isolate --methods "$m" --datasets "$ds" \
+    # no --isolate here: the remote tunnel charges a 50-300 s stall to
+    # every fresh process's first heavy transfer, so per-seed subprocess
+    # isolation triples the chunk's overhead; --no-debug is the fault
+    # wall (a crashed seed becomes an errored row, the chunk continues)
+    timeout "$t" python run.py --methods "$m" --datasets "$ds" \
         --seed-start "$start" --seeds "$k" --epochs 100 --no-debug \
         >> "$QLOG" 2>&1
     rc=$?
