@@ -68,7 +68,7 @@ def _shard_seed_axis(tree, mesh):
 
 
 def _predict_chunked(predict, params, data, chunk, mesh=None,
-                     fetch_every=0):
+                     fetch_every=0, seed_chunk=0):
     """Run a seed-vmapped predict over row chunks of [S, N, ...] arrays.
 
     The CT attention maps materialize as [S, heads, T, T, N]-shaped
@@ -84,9 +84,29 @@ def _predict_chunked(predict, params, data, chunk, mesh=None,
     to ~fetch_every chunk outputs (the EDCT columns crashed the TPU
     worker with the accumulate-everything default).
 
+    `seed_chunk` > 0 additionally blocks the SEED axis: params and data
+    are sliced to `seed_chunk`-seed blocks and evaluated block-serially,
+    so resident eval transients shrink by S/seed_chunk on top of the row
+    chunking (one extra compile for the block shape, reused across
+    blocks). This is the EDCT escape hatch: its seed-vmapped transformer
+    eval crashed the TPU worker at row chunks 8192/4096/1024 with all 10
+    seeds stacked — the [S, chunk, T, T] attention transients sit on top
+    of both stages' training buffers. Ignored under a `mesh` (the mesh
+    path shards the seed axis across chips instead).
+
     `predict` may return one array or any pytree of [S, rows, ...] arrays
     (e.g. (outcome, br) tuples); chunks are concatenated per leaf.
     """
+    n_seeds = next(iter(data.values())).shape[0]
+    if seed_chunk and seed_chunk < n_seeds and mesh is None:
+        blocks = []
+        for s0 in range(0, n_seeds, seed_chunk):
+            s1 = min(s0 + seed_chunk, n_seeds)
+            p_blk = jax.tree_util.tree_map(lambda a: a[s0:s1], params)
+            d_blk = {k: v[s0:s1] for k, v in data.items()}
+            blocks.append(_predict_chunked(predict, p_blk, d_blk, chunk))
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *blocks)
     n = next(iter(data.values())).shape[1]
     chunk = min(chunk, n)
     outs, fetched = [], []
@@ -372,13 +392,15 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     """
     assert method in ('crn', 'edct')
     fetch_every = 0
+    seed_chunk = 0
     if method == 'edct':
         # the EDCT transformer's seed-vmapped eval crashed the TPU worker
-        # twice at the 1-step-eval dispatch (round 3 at chunk 8192, round
-        # 4 at 4096) — cap the chunk and drain outputs eagerly so resident
-        # HBM stays far from the edge
-        eval_chunk = min(eval_chunk, 1024)
-        fetch_every = 4
+        # at row chunks 8192, 4096 AND 1024 with 10 stacked seeds (the
+        # [S, chunk, T, T] attention transients ride on top of both
+        # stages' resident training buffers) — evaluate seed-serially
+        # instead: 10x less resident eval memory, one extra S=1 compile,
+        # row chunk can stay large to keep tunnel dispatches few
+        seed_chunk = 1
     num_patients = num_patients or {'train': 1000, 'val': 100, 'test': 100}
     seeds = list(range(seed_start, seed_start + n_seeds))
     if mesh is not None:
@@ -436,7 +458,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
                                       enc.input_keys, repeat_pad=True)
         op, br = _predict_chunked(enc_predict, enc_params, stacked,
                                   eval_chunk, mesh=mesh,
-                                  fetch_every=fetch_every)
+                                  fetch_every=fetch_every,
+                                  seed_chunk=seed_chunk)
         for s, ds in enumerate(ds_list):
             shims[s].put(ds, br[s, :rows[s]], op[s, :rows[s]])
     for c, shim in zip(colls, shims):
@@ -464,7 +487,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
         [c.test_cf_one_step.data for c in colls], enc.input_keys,
         repeat_pad=True)
     op, _ = _predict_chunked(enc_predict, enc_params, one_step, eval_chunk,
-                             mesh=mesh, fetch_every=fetch_every)
+                             mesh=mesh, fetch_every=fetch_every,
+                             seed_chunk=seed_chunk)
     _one_step_metrics(res, colls, op, n_rows)
 
     # ---- n-step eval (autoregressive decoder, crn.py:212-224) -----------
@@ -482,7 +506,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
                          np.float32)
     for t in range(ph):
         out, _ = _predict_chunked(dec_predict, dec_params, ar, eval_chunk,
-                                  mesh=mesh, fetch_every=fetch_every)
+                                  mesh=mesh, fetch_every=fetch_every,
+                                  seed_chunk=seed_chunk)
         predicted[:, :, t] = out[:, :, t]
         if t < ph - 1:
             ar['prev_outputs'][:, :, t + 1, :] = out[:, :, t, :]
