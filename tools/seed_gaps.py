@@ -96,6 +96,23 @@ def main():
     p.add_argument('--logs', default='logs/run-*.txt')
     args = p.parse_args()
 
+    if args.next_cell:
+        # one-shot priority lines: logs/markers/priority_cells holds
+        # full "method dataset n mode start k" dispatch specs that jump
+        # the thinness queue (e.g. re-measuring a suspect CPU-lane seed
+        # on the TPU so newest-wins dedup can adjudicate a platform-
+        # sensitive training basin). Each read consumes one line.
+        pri = 'logs/markers/priority_cells'
+        if os.path.exists(pri):
+            with open(pri) as f:
+                lines = [l.strip() for l in f if l.strip()]
+            if lines:
+                with open(pri, 'w') as f:
+                    for l in lines[1:]:
+                        f.write(l + '\n')
+                print(lines[0])
+                return
+
     df = protocol_df(args.logs)
     c = counts(df)
     if args.next_cell:
