@@ -49,8 +49,8 @@ stage() {  # stage <cap> <desc...> -- <run.py args...>
   echo "[queue4f] $(date +%T) DONE$desc exit=$?" >> "$QLOG"
 }
 
-stage 900  std insite EQ_4_D s9 -- \
-  --methods insite --datasets EQ_4_D --seed-start 9 --seeds 1
+stage 1500 std insite EQ_4_D s6-9 -- \
+  --methods insite --datasets EQ_4_D --seed-start 6 --seeds 4
 stage 3600 vec ct EQ_5_B EQ_5_C EQ_4_A EQ_4_B EQ_4_C -- \
   --vectorized --isolate --methods ct \
   --datasets EQ_5_B EQ_5_C EQ_4_A EQ_4_B EQ_4_C --seeds 10
