@@ -22,6 +22,25 @@ def test_counts_skip_wsindy_off_family():
     assert c[('wsindy', 'EQ_4_A')] == 1
 
 
+def test_next_cell_consumes_priority_lines_one_shot(tmp_path, capsys,
+                                                    monkeypatch):
+    """logs/markers/priority_cells lines jump the thinness queue and are
+    consumed exactly once per --next-cell read (the round-4 endgame
+    dispatch mechanism: TPU re-measures of suspect CPU-lane seeds, edct
+    close-out chunks)."""
+    monkeypatch.chdir(tmp_path)
+    os.makedirs('logs/markers')
+    with open('logs/markers/priority_cells', 'w') as f:
+        f.write('ct EQ_4_D 8 std 5 2\nedct cancer_sim 2 std 2 3\n')
+    monkeypatch.setattr(sys, 'argv', ['seed_gaps.py', '--next-cell'])
+    seed_gaps.main()
+    assert capsys.readouterr().out.strip() == 'ct EQ_4_D 8 std 5 2'
+    seed_gaps.main()
+    assert capsys.readouterr().out.strip() == 'edct cancer_sim 2 std 2 3'
+    with open('logs/markers/priority_cells') as f:
+        assert f.read() == ''            # both lines consumed
+
+
 def test_plan_groups_consecutive_missing_runs(tmp_path, capsys, monkeypatch):
     df = pd.DataFrame({
         'method_name': ['crn'] * 3,
