@@ -79,7 +79,12 @@ def wait_for_backend():
     import subprocess
     if _PLATFORM == "cpu":
         return "_cpu"               # host backend requested explicitly
-    wait_budget = float(os.environ.get("BENCH_WAIT_S", 1800))
+    # default sized to outlast one endgame queue stage: stage budgets are
+    # capped at 2100 s (tools/deadline_extender.sh rolls the queue deadline
+    # in now+2700 steps, budgets are remaining-600), so a bench launched
+    # while a sweep holds the single-client tunnel always gets the TPU
+    # when that stage ends instead of degrading to the CPU fallback
+    wait_budget = float(os.environ.get("BENCH_WAIT_S", 2700))
     fallback = os.environ.get("BENCH_CPU_FALLBACK", "1") != "0"
     deadline = time() + wait_budget
     tries = 0

@@ -3,12 +3,14 @@
 # The round's true end time is unknowable from inside the session, but
 # the driver appends a heartbeat to PROGRESS.jsonl every ~15 min while
 # the round is alive. While that heartbeat stays fresh, keep rolling
-# logs/markers/deadline_r4 forward in SHORT steps (now + 2100 s) so
-#   * queue_r4e.sh keeps dispatching, and
-#   * every stage budget stays <= 1500 s (queue budgets are
+# logs/markers/deadline_r4 forward in SHORT steps (now + 2700 s) so
+#   * queue_r4e.sh keeps dispatching with budgets that fit a cold
+#     vectorized neural column (~15-25 min incl. compile + stall), and
+#   * every stage budget stays <= 2100 s (queue budgets are
 #     remaining-600), which means the driver's end-of-round bench —
-#     which probes the tunnel for up to BENCH_WAIT_S=1800 s — can never
-#     be starved into its CPU fallback by a long-running stage.
+#     which probes the tunnel for up to BENCH_WAIT_S=2700 s (bench.py
+#     default, sized to this cap) — can never be starved into its CPU
+#     fallback by a long-running stage.
 # When the heartbeat goes stale (round over, driver judging), stop
 # extending: the queue winds down within ~25 min and frees the tunnel.
 set -u
@@ -22,7 +24,7 @@ while :; do
   hb=$(stat -c %Y PROGRESS.jsonl 2>/dev/null || echo 0)
   if [ $(( now - hb )) -lt "$STALE_S" ]; then
     cur=$(cat logs/markers/deadline_r4 2>/dev/null || echo 0)
-    new=$(( now + 2100 ))
+    new=$(( now + 2700 ))
     if [ "$new" -gt "$cur" ]; then
       echo "$new" > logs/markers/deadline_r4
     fi
