@@ -366,7 +366,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
                              cf_seq_mode: str = 'sliding_treatment',
                              noise_scale: float = 1.0,
                              model_overrides: dict = None,
-                             max_seq_length: int = 60) -> dict:
+                             max_seq_length: int = 60,
+                             seed_block: int = None) -> dict:
     """Train + evaluate a whole CRN or EDCT seed column with the two
     stage fits (encoder, decoder) each ONE vmapped dispatch.
 
@@ -389,8 +390,31 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     of the whole column ([S, chunk, T, T] attention transients on top of
     the training buffers) — 4096 keeps 10-seed columns comfortably inside
     a v5e chip (8192 crashed the TPU worker on EQ_4_B in practice).
+
+    ``seed_block`` splits the column into independent sub-columns of at
+    most that many seeds, run serially in-process and concatenated. Seeds
+    never couple (per-seed cohorts, per-seed rngs from _stage_rngs), so a
+    blocked column lands row-identical results to the whole column while
+    dividing every resident training buffer by S/seed_block. Defaults to
+    5 for EDCT on a single chip: its 10-seed stacked TRAINING program
+    (two transformer stage fits resident together) crashed the v5e worker
+    even with seed-serial eval (seed_chunk=1, logs/queue_r4e.log 17:55).
     """
     assert method in ('crn', 'edct')
+    if seed_block is None and method == 'edct' and mesh is None:
+        seed_block = 5
+    if seed_block and 0 < seed_block < n_seeds and mesh is None:
+        parts = []
+        for b0 in range(0, n_seeds, seed_block):
+            parts.append(vectorized_enc_dec_sweep(
+                method, dataset_name,
+                n_seeds=min(seed_block, n_seeds - b0),
+                num_patients=num_patients, coeff=coeff, epochs=epochs,
+                seed_start=seed_start + b0, eval_chunk=eval_chunk,
+                mesh=mesh, cf_seq_mode=cf_seq_mode,
+                noise_scale=noise_scale, model_overrides=model_overrides,
+                max_seq_length=max_seq_length, seed_block=0))
+        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
     fetch_every = 0
     seed_chunk = 0
     if method == 'edct':

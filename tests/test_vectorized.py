@@ -177,6 +177,27 @@ def test_vectorized_gnet_sweep_mesh_matches_unsharded():
 
 
 @pytest.mark.slow
+def test_vectorized_enc_dec_seed_block_matches_whole_column():
+    """A seed-blocked EDCT column concatenates to the whole column.
+
+    Guards the single-chip OOM workaround (seed_block=5 default for EDCT):
+    seeds never couple across the stacked axis, so running the column in
+    blocks must land the same per-seed metrics bit-for-bit (f64 CPU)."""
+    import numpy as np
+    from insite_tpu.harness.vectorized_neural import vectorized_enc_dec_sweep
+    kw = dict(num_patients={'train': 40, 'val': 8, 'test': 6},
+              epochs=2, eval_chunk=64)
+    whole = vectorized_enc_dec_sweep('edct', 'EQ_4_D', n_seeds=2,
+                                     seed_block=0, **kw)
+    blocked = vectorized_enc_dec_sweep('edct', 'EQ_4_D', n_seeds=2,
+                                       seed_block=1, **kw)
+    assert set(whole) == set(blocked)
+    for k in whole:
+        np.testing.assert_allclose(blocked[k], whole[k],
+                                   rtol=1e-6, atol=1e-9, err_msg=k)
+
+
+@pytest.mark.slow
 def test_vectorized_enc_dec_sweep_smoke():
     """Whole CRN / EDCT seed columns as vmapped two-stage dispatches."""
     import numpy as np
