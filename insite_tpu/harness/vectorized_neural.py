@@ -396,13 +396,17 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     never couple (per-seed cohorts, per-seed rngs from _stage_rngs), so a
     blocked column lands row-identical results to the whole column while
     dividing every resident training buffer by S/seed_block. Defaults to
-    5 for EDCT on a single chip: its 10-seed stacked TRAINING program
-    (two transformer stage fits resident together) crashed the v5e worker
-    even with seed-serial eval (seed_chunk=1, logs/queue_r4e.log 17:55).
+    2 for EDCT on a single chip: its DECODER stage fit (exploded
+    rolling-origin rows x cross-attention, the largest program of the
+    column) crashed the v5e worker at 10 AND 5 stacked seeds even with
+    seed-serial eval (seed_chunk=1; logs/queue_r4e.log 17:55 and 22:26 —
+    the fault surfaces at the next blocking device_get, but the encoder
+    fit and the S=1 eval executable had both already run clean, isolating
+    the decoder column fit).
     """
     assert method in ('crn', 'edct')
     if seed_block is None and method == 'edct' and mesh is None:
-        seed_block = 5
+        seed_block = 2
     if seed_block and 0 < seed_block < n_seeds and mesh is None:
         parts = []
         for b0 in range(0, n_seeds, seed_block):
