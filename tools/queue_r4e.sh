@@ -84,8 +84,12 @@ while :; do
         "landed nothing (exit $rc); switching to standard path" >> "$QLOG"
     fi
   else
-    [ "$k" -gt 3 ] && k=3
-    t=$(budget 1800)
+    # chunk cap 8 (was 3): with only one method left in the table the
+    # per-dispatch tunnel stall (50-300 s) dominates breadth-first's
+    # value; one dispatch per cell amortizes it. Rows are logged per
+    # seed, so a timeout mid-chunk keeps every completed seed.
+    [ "$k" -gt 8 ] && k=8
+    t=$(budget 2100)
     [ "$t" -eq 0 ] && break
     echo "[queue4e] $(date +%T) std $m $ds seeds $start+$k (n=$n," \
       "budget ${t}s)" >> "$QLOG"
