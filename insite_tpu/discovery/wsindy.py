@@ -31,12 +31,28 @@ from jax import lax
 
 
 def _test_functions(n_windows: int, window_len: int, t_len: int, seed=0,
-                    p: int = 2):
+                    p: int = 2, all_starts: bool = False):
     """phi and phi' sampled on the grid for K windows placed (deterministic
     rng) over [0, t_len).  Returns (starts [K], phi [K, w], dphi [K, w]) in
-    grid units; scale dphi by 1/dt outside."""
-    rng = np.random.RandomState(seed)
-    starts = rng.randint(0, max(t_len - window_len, 1), size=n_windows)
+    grid units; scale dphi by 1/dt outside.
+
+    ``all_starts=True`` places one window at EVERY grid start (K =
+    t_len - window_len + 1, ignoring n_windows/seed) — required when
+    window validity is decided per (trajectory, window) by a constant-
+    treatment-segment mask (tumor family: segments are 1-11 steps, so
+    random placement would miss nearly all of them).
+
+    ``p`` is the test-function exponent, phi = (1 - s^2)^p.  For tiny
+    windows p must be 1: with window_len=3, (1-s^2)^2 has phi' = 0 at all
+    three grid points s in {-1, 0, 1} and the weak equation degenerates
+    to 0 = <phi, theta>; p=1 gives phi' = -2s, recovering a centered-
+    difference-like relation."""
+    if all_starts:
+        starts = np.arange(max(t_len - window_len + 1, 1))
+        n_windows = len(starts)
+    else:
+        rng = np.random.RandomState(seed)
+        starts = rng.randint(0, max(t_len - window_len, 1), size=n_windows)
     s = np.linspace(-1.0, 1.0, window_len)
     phi = (1 - s ** 2) ** p
     dphi_ds = -2 * p * s * (1 - s ** 2) ** (p - 1)
@@ -49,16 +65,28 @@ def _test_functions(n_windows: int, window_len: int, t_len: int, seed=0,
 
 def weak_system(volumes, statics, lengths, library, dt,
                 n_windows: int = 100, window_len: int = 30,
-                trajectory_mask=None, seed: int = 0):
+                trajectory_mask=None, seed: int = 0,
+                step_arms=None, arm=None, all_starts: bool = False,
+                p: int = 2):
     """Build the flattened weak-form linear system (A, b, sample_weight).
 
-    volumes: [B, T] padded; statics: [B, S]; lengths: [B] valid lengths.
-    trajectory_mask: [B] bool — which trajectories feed this arm's system.
+    volumes: [B, T] padded; statics: [B, S]; lengths: [B] valid VOLUME
+    points (a window [s, s+w) is kept iff s + w <= lengths).
+    trajectory_mask: [B] bool — which trajectories feed this arm's system
+    (EQ_4: the whole trajectory runs one constant arm).
+    step_arms/arm: [B, T-1] per-transition arm index + target arm — a
+    window is kept iff ALL transitions it spans (s .. s+w-2) ran `arm`
+    (tumor family: trajectories are concatenations of short constant-
+    treatment segments, pkpd/utils.py:433-462; the weak form of arm a's
+    ODE only holds on intervals where arm a was applied throughout).
+    all_starts/p: see _test_functions.
     """
     B, T = volumes.shape
     window_len = min(window_len, T)
     starts_np, phi_np, dphi_np = _test_functions(n_windows, window_len, T,
-                                                 seed=seed)
+                                                 seed=seed, p=p,
+                                                 all_starts=all_starts)
+    n_windows = len(starts_np)
     starts = jnp.asarray(starts_np)
     phi = jnp.asarray(phi_np, volumes.dtype)
     dphi = jnp.asarray(dphi_np, volumes.dtype) / dt
@@ -68,6 +96,12 @@ def weak_system(volumes, statics, lengths, library, dt,
         jnp.asarray(lengths)[:, None]                    # [B, K]
     if trajectory_mask is not None:
         ok_win = ok_win & jnp.asarray(trajectory_mask)[:, None]
+    if step_arms is not None:
+        # transitions spanned by volume window [s, s+w): s .. s+w-2
+        tr_idx = jnp.clip(
+            starts[:, None] + jnp.arange(window_len - 1)[None, :],
+            0, step_arms.shape[1] - 1)                   # [K, w-1]
+        ok_win = ok_win & jnp.all(step_arms[:, tr_idx] == arm, axis=-1)
 
     idx = starts[:, None] + jnp.arange(window_len)[None, :]   # [K, w]
     x_win = volumes[:, idx]                                   # [B, K, w]
@@ -87,6 +121,33 @@ def weak_system(volumes, statics, lengths, library, dt,
     A = rhs.reshape(-1, rhs.shape[-1])
     b = lhs.reshape(-1)
     return A, b, w
+
+
+def weak_system_segments(volumes, statics, n_volume_points, library, dt,
+                         step_arms, arm, window_lens=(8, 5, 3)):
+    """Multi-scale weak system for one arm of a SEGMENTED trajectory
+    (tumor family, cancer_simulation.py treatment assignment): constant-
+    treatment segments are 1-11 steps long (median 1-2), so one window
+    scale cannot both fit the short treated segments and average noise
+    over the longer untreated ones.  Build one all-starts weak system per
+    scale — each window kept only when every transition it spans ran
+    `arm` — and stack the scales into one flattened (A, b, w) system.
+    Tiny scales (w <= 4) use the p=1 test function (see _test_functions).
+
+    n_volume_points: [B] count of valid volume samples per trajectory
+    (= sequence_lengths + 1 for the tumor wrappers: lengths transitions
+    pair lengths+1 volume points, models/sindy.py::_fit_tumor).
+    """
+    parts = []
+    for w in window_lens:
+        parts.append(weak_system(
+            volumes, statics, n_volume_points, library, dt,
+            window_len=int(w), all_starts=True, step_arms=step_arms,
+            arm=arm, p=(1 if w <= 4 else 2)))
+    A = jnp.concatenate([a for a, _, _ in parts], axis=0)
+    b = jnp.concatenate([b_ for _, b_, _ in parts], axis=0)
+    wt = jnp.concatenate([w_ for _, _, w_ in parts], axis=0)
+    return A, b, wt
 
 
 def weak_sindy_fit(volumes, statics, lengths, library, dt,

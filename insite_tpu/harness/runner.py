@@ -332,9 +332,9 @@ def sweep(cfg: RunConfig = None, experiment=Experiment.MAIN_TABLE,
         for seed in range(cfg.seed_start, cfg.seed_start + cfg.seed_runs):
             for dataset_name in cfg.datasets:
                 for method_name in cfg.methods:
-                    if method_name == 'wsindy' and \
-                            'EQ_4' not in dataset_name:
-                        continue   # run.py:100-103
+                    # (the reference skips wsindy off the EQ_4 family,
+                    # run.py:100-103; this repo extends the weak form to
+                    # the tumor datasets — models/sindy.py::_fit_weak_tumor)
                     args_for_runs.append((dataset_name, method_name, seed,
                                           cfg.domain_conf))
     elif experiment == Experiment.INSIGHT_CONFOUNDING:

@@ -143,13 +143,27 @@ def _stage_rngs(seeds):
     return pair[:, 1], pair[:, 0]
 
 
-def _fit_br_stage(net, stacked_train, tc, seeds, mesh=None):
+def _fit_br_stage(net, stacked_train, tc, seeds, mesh=None,
+                  seed_serial=False):
     """Init + train one BR stage (VariationalLSTM/transformer +
     BRTreatmentOutcomeHead) for a whole seed column as ONE vmapped
     two-optimizer dispatch.  Returns (pred_params, predict) where
     ``predict(params, batch) -> (outcome, br)`` is seed-vmapped and
     jitted.  `stacked_train` is the [S, N, ...] data dict (already
-    placed/sharded by the caller)."""
+    placed/sharded by the caller).
+
+    ``seed_serial=True`` runs the column fit as ``lax.map`` over the seed
+    axis instead of ``vmap``: still ONE compiled dispatch over the stacked
+    column, but the seeds execute serially on device, so the program body
+    (and its training transients) is exactly the proven S=1 standard-path
+    program.  This is the EDCT decoder-stage fix: its *vmapped* column fit
+    hard-faulted the v5e TPU worker at 10, 5 AND 2 stacked seeds
+    (logs/queue_r4e.log 17:55/22:26; encoder fit + S=1 eval executables
+    ran clean, isolating the decoder fit), so the vmapped two-optimizer
+    cross-attention program itself is what the worker cannot execute —
+    seed-serial sidesteps the vmapped program entirely while keeping the
+    one-compile / one-dispatch column economics. Ignored under a `mesh`
+    (the mesh path shards the seed axis across chips)."""
     from insite_tpu.models.nn.training import (make_br_train_fn,
                                                merge_by_mask,
                                                treatment_head_mask)
@@ -172,7 +186,13 @@ def _fit_br_stage(net, stacked_train, tc, seeds, mesh=None):
     mask = treatment_head_mask(
         jax.tree_util.tree_map(lambda a: a[0], params))
     run = make_br_train_fn(apply_fn, tc, mask)
-    params, ema = jax.jit(jax.vmap(run))(params, stacked_train, carry_rngs)
+    if seed_serial and mesh is None:
+        params, ema = jax.jit(lambda ps, d, rs: jax.lax.map(
+            lambda a: run(*a), (ps, d, rs)))(params, stacked_train,
+                                             carry_rngs)
+    else:
+        params, ema = jax.jit(jax.vmap(run))(params, stacked_train,
+                                             carry_rngs)
     pred_params = merge_by_mask(params, ema, mask) if tc.weights_ema \
         else params
 
@@ -395,18 +415,18 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     most that many seeds, run serially in-process and concatenated. Seeds
     never couple (per-seed cohorts, per-seed rngs from _stage_rngs), so a
     blocked column lands row-identical results to the whole column while
-    dividing every resident training buffer by S/seed_block. Defaults to
-    2 for EDCT on a single chip: its DECODER stage fit (exploded
-    rolling-origin rows x cross-attention, the largest program of the
-    column) crashed the v5e worker at 10 AND 5 stacked seeds even with
+    dividing every resident training buffer by S/seed_block. No longer
+    needed for EDCT: its DECODER stage fit (exploded rolling-origin rows
+    x cross-attention, the largest program of the column) crashed the
+    v5e worker when *vmapped* at 10, 5 AND 2 stacked seeds even with
     seed-serial eval (seed_chunk=1; logs/queue_r4e.log 17:55 and 22:26 —
     the fault surfaces at the next blocking device_get, but the encoder
     fit and the S=1 eval executable had both already run clean, isolating
-    the decoder column fit).
+    the decoder column fit), so the decoder fit now runs as ONE
+    ``lax.map`` dispatch instead (`_fit_br_stage(seed_serial=True)`):
+    the per-seed program body is the proven standard-path S=1 program.
     """
     assert method in ('crn', 'edct')
-    if seed_block is None and method == 'edct' and mesh is None:
-        seed_block = 2
     if seed_block and 0 < seed_block < n_seeds and mesh is None:
         parts = []
         for b0 in range(0, n_seeds, seed_block):
@@ -506,7 +526,8 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     dec_seeds = [s + 1 for s in seeds]       # crn.py: decoder seed = seed+1
     dec_params, dec_predict = _fit_br_stage(dec.net, place(dec_train),
                                             dec.train_cfg, dec_seeds,
-                                            mesh=mesh)
+                                            mesh=mesh,
+                                            seed_serial=(method == 'edct'))
 
     # ---- 1-step eval (encoder, exact per-seed metric) -------------------
     res = {'encoder_test_rmse_orig': [], 'encoder_test_rmse_all': [],

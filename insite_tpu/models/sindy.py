@@ -73,6 +73,12 @@ class SINDyConfig:
     # grid and the strong-form score picks per arm
     wsindy_alpha_grid: tuple = (0.5, 0.05, 0.005)
     wsindy_select_tol: float = 0.05
+    # tumor-family weak windows (discovery/wsindy.py::weak_system_segments):
+    # constant-treatment segments are 1-11 steps (median 1-2) at coeff=2,
+    # so windows come in several scales, each kept only when it fits
+    # inside one arm's segment.  The reference never ran wsindy outside
+    # EQ_4 (run.py:100-103); this extends the weak form to cancer_sim/EQ_5.
+    wsindy_tumor_window_lens: tuple = (8, 5, 3)
     projection_horizon: int = 5
     treatment_mode: str = 'multiclass'
     max_stlsq_iter: int = 100   # reference STLSQ max_iter (sindy.py:190)
@@ -359,6 +365,8 @@ class SINDyRegressor(CausalEstimator):
         duplicated boundary element reproduces exactly this pairing.
         """
         cfg = self.cfg
+        if cfg.wsindy:
+            return self._fit_weak_tumor(volumes, statics, arms, lengths)
 
         flat_theta, flat_y, flat_ok, flat_arm = _tumor_design(
             jnp.asarray(volumes), jnp.asarray(statics), jnp.asarray(arms),
@@ -375,26 +383,48 @@ class SINDyRegressor(CausalEstimator):
             coefs.append(jnp.asarray(c, flat_theta.dtype))
         return jnp.stack(coefs)
 
+    def _wsindy_grid(self):
+        """(thresholds [G], paired alphas [G]) for the candidate grid."""
+        cfg = self.cfg
+        if cfg.wsindy_select:
+            ths = np.asarray(cfg.wsindy_threshold_grid, float) * \
+                cfg.sindy_threshold
+            als = np.asarray(cfg.wsindy_alpha_grid, float)
+            return np.repeat(ths, len(als)), np.tile(als, len(ths))
+        return np.asarray([cfg.sindy_threshold]), np.asarray([0.5])
+
+    def _weak_solve_arms(self, systems_np, grid, alphas, theta_np, y_np,
+                         ok_np, armf_np):
+        """Host-f64 per-arm candidate solves + strong-form selection
+        (shared by the EQ_4 and tumor weak paths)."""
+        from insite_tpu.discovery.wsindy import (weak_stlsq_host,
+                                                 weak_select_host)
+        cfg = self.cfg
+        coefs = []
+        for a in range(self._n_arms):
+            A, b, w = systems_np[a]
+            cands = np.stack([weak_stlsq_host(A, b, w, t, alpha=al)
+                              for t, al in zip(grid, alphas)])
+            if len(grid) == 1:
+                coefs.append(cands[0])
+                continue
+            wa = (ok_np & ((armf_np == a) if not cfg.joint_model
+                           else True)).astype(np.float64)
+            c, _ = weak_select_host(cands, grid, theta_np, y_np, wa,
+                                    select_tol=cfg.wsindy_select_tol)
+            coefs.append(c)
+        return coefs
+
     def _fit_weak(self, volumes, statics, arms, eff_len, fd_order=4,
                   smooth=True):
         """Weak-form discovery, solved on host in f64 (the weak normal
         equations are beyond f32 — discovery/wsindy.py::weak_stlsq_host),
         with threshold-grid model selection scored on the strong-form
         training residual (wsindy_select)."""
-        from insite_tpu.discovery.wsindy import (weak_system,
-                                                 weak_stlsq_host,
-                                                 weak_select_host)
+        from insite_tpu.discovery.wsindy import weak_system
         cfg = self.cfg
         arm0 = arms[:, 0]
-        if cfg.wsindy_select:
-            ths = np.asarray(cfg.wsindy_threshold_grid, float) * \
-                cfg.sindy_threshold
-            als = np.asarray(cfg.wsindy_alpha_grid, float)
-            grid = np.repeat(ths, len(als))          # [G] thresholds
-            alphas = np.tile(als, len(ths))          # [G] paired alphas
-        else:
-            grid = np.asarray([cfg.sindy_threshold])
-            alphas = np.asarray([0.5])
+        grid, alphas = self._wsindy_grid()
         # device: weak systems for every arm + the strong-form scoring
         # design, pulled in ONE batched device_get (remote-TPU transfers
         # stall per dispatch, CLAUDE.md)
@@ -411,19 +441,40 @@ class SINDyRegressor(CausalEstimator):
         host = jax.device_get((systems, flat_theta, flat_y, flat_ok,
                                flat_arm))
         systems_np, theta_np, y_np, ok_np, armf_np = host
-        coefs = []
-        for a in range(self._n_arms):
-            A, b, w = systems_np[a]
-            cands = np.stack([weak_stlsq_host(A, b, w, t, alpha=al)
-                              for t, al in zip(grid, alphas)])
-            if len(grid) == 1:
-                coefs.append(cands[0])
-                continue
-            wa = (ok_np & ((armf_np == a) if not cfg.joint_model
-                           else True)).astype(np.float64)
-            c, _ = weak_select_host(cands, grid, theta_np, y_np, wa,
-                                    select_tol=cfg.wsindy_select_tol)
-            coefs.append(c)
+        coefs = self._weak_solve_arms(systems_np, grid, alphas, theta_np,
+                                      y_np, ok_np, armf_np)
+        return jnp.asarray(np.stack(coefs), volumes.dtype)
+
+    def _fit_weak_tumor(self, volumes, statics, arms, lengths):
+        """Weak-form discovery on the tumor family (cancer_sim / EQ_5),
+        beyond the reference (its run.py:100-103 skips wsindy off EQ_4):
+        multi-scale all-starts windows constrained to constant-treatment
+        segments (discovery/wsindy.py::weak_system_segments), host-f64
+        solves, candidates scored on the strong-form tumor design."""
+        cfg = self.cfg
+        assert not cfg.joint_model, \
+            'wsindy joint model is EQ_4-only (the joint tumor library ' \
+            'takes time-varying treatment inputs, which the weak ' \
+            'integrand does not thread)'
+        from insite_tpu.discovery.wsindy import weak_system_segments
+        vol_j = jnp.asarray(volumes)
+        statics_j = jnp.asarray(statics)
+        arms_j = jnp.asarray(arms)                       # [B, T-1] arm idx
+        lengths_j = jnp.asarray(lengths)
+        grid, alphas = self._wsindy_grid()
+        flat_theta, flat_y, flat_ok, flat_arm = _tumor_design(
+            vol_j, statics_j, arms_j, lengths_j, library=self.library,
+            joint=False, dt=self.dt)
+        # `lengths` transitions pair lengths+1 valid volume points
+        systems = [weak_system_segments(
+            vol_j, statics_j, lengths_j + 1, self.library, self.dt,
+            arms_j, a, window_lens=cfg.wsindy_tumor_window_lens)
+            for a in range(self._n_arms)]
+        host = jax.device_get((systems, flat_theta, flat_y, flat_ok,
+                               flat_arm))
+        systems_np, theta_np, y_np, ok_np, armf_np = host
+        coefs = self._weak_solve_arms(systems_np, grid, alphas, theta_np,
+                                      y_np, ok_np, armf_np)
         return jnp.asarray(np.stack(coefs), volumes.dtype)
 
     # ------------------------------------------------------------------

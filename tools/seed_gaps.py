@@ -68,9 +68,9 @@ def counts(df):
     out = {}
     for m in METHODS:
         for ds in DATASETS:
-            if m == 'wsindy' and 'EQ_4' not in ds:
-                out[(m, ds)] = None      # reference skips (run.py:100-103)
-                continue
+            # round 5: wsindy tumor cells are now expected too (the
+            # reference skips them, run.py:100-103; this repo extends the
+            # weak form — models/sindy.py::_fit_weak_tumor)
             sub = df[(df.method_name == m) & (df.dataset_name == ds)] \
                 if not df.empty else df
             out[(m, ds)] = 0 if df.empty else int(sub.seed.nunique())
@@ -138,7 +138,10 @@ def main():
         if not cells:
             return
         _, _, _, m, ds, n = min(cells)
-        mode = 'std' if m in excl else 'vec'
+        # wsindy tumor columns have no vectorized path (the vec tumor
+        # sweep is insite/sindy-only) — always standard
+        mode = 'std' if (m in excl or
+                         (m == 'wsindy' and 'EQ_4' not in ds)) else 'vec'
         have = set() if df.empty else set(
             df[(df.method_name == m) & (df.dataset_name == ds)]
             .seed.astype(int))
