@@ -63,6 +63,41 @@ def _test_functions(n_windows: int, window_len: int, t_len: int, seed=0,
     return starts, phi_k, dphi_k
 
 
+def _hat_weights(window_len: int, p: int):
+    """Exact quadrature weights for the weak integrals against the
+    piecewise-LINEAR interpolant of the grid samples.
+
+    Sampling phi/phi' at the grid and applying trapezoid quadrature is
+    systematically biased on coarse windows: at window_len=3, p=1 the
+    trapezoid value of <phi, theta> is 3/4 of the true integral while
+    |<phi', x>| is overestimated 3/2x, inflating every recovered
+    coefficient by 2x (measured on noise-free exponential decays).
+    Instead precompute W[i] = integral(phi(s) * hat_i(s) ds) and
+    Wd[i] = integral(phi'(s) * hat_i(s) ds) on a fine grid (f64, host,
+    once per window length) so that sum_i g_i * W[i] is EXACT for any
+    piecewise-linear g.  Remaining error is the interpolant's own
+    O(dt^2), unbiased in the window size.
+
+    Returns (W [w], Wd [w]) in s units over [-1, 1]:
+      integral(phi * g dt)  = (window_len-1)*dt/2 * sum_i g_i W[i]
+      integral(phi'_t * g dt) = sum_i g_i Wd[i]      (chain rule: the
+      ds/dt and dt/ds factors cancel exactly)
+    """
+    M = 4001
+    s = np.linspace(-1.0, 1.0, M)
+    phi = (1 - s ** 2) ** p
+    dphi = -2 * p * s * (1 - s ** 2) ** (p - 1)
+    h = 2.0 / (window_len - 1)
+    nodes = np.linspace(-1.0, 1.0, window_len)
+    W = np.zeros(window_len)
+    Wd = np.zeros(window_len)
+    for i, si in enumerate(nodes):
+        hat = np.clip(1.0 - np.abs(s - si) / h, 0.0, None)
+        W[i] = np.trapezoid(phi * hat, s)
+        Wd[i] = np.trapezoid(dphi * hat, s)
+    return W, Wd
+
+
 def weak_system(volumes, statics, lengths, library, dt,
                 n_windows: int = 100, window_len: int = 30,
                 trajectory_mask=None, seed: int = 0,
@@ -83,13 +118,17 @@ def weak_system(volumes, statics, lengths, library, dt,
     """
     B, T = volumes.shape
     window_len = min(window_len, T)
-    starts_np, phi_np, dphi_np = _test_functions(n_windows, window_len, T,
-                                                 seed=seed, p=p,
-                                                 all_starts=all_starts)
+    starts_np, _, _ = _test_functions(n_windows, window_len, T,
+                                      seed=seed, p=p,
+                                      all_starts=all_starts)
     n_windows = len(starts_np)
     starts = jnp.asarray(starts_np)
-    phi = jnp.asarray(phi_np, volumes.dtype)
-    dphi = jnp.asarray(dphi_np, volumes.dtype) / dt
+    # exact piecewise-linear quadrature weights (see _hat_weights): the
+    # phi weight carries the dt-measure factor, the phi' weight needs
+    # none (chain rule cancellation)
+    W_np, Wd_np = _hat_weights(window_len, p)
+    wphi = jnp.asarray(W_np * ((window_len - 1) * dt / 2.0), volumes.dtype)
+    wdphi = jnp.asarray(Wd_np, volumes.dtype)
 
     # windows fully inside the valid region only
     ok_win = (starts[None, :] + window_len) <= \
@@ -112,10 +151,8 @@ def weak_system(volumes, statics, lengths, library, dt,
         axis=-1)
     theta = library(X)                                        # [B, K, w, F]
 
-    # quadrature: trapezoid with uniform dt
-    quad = jnp.ones(window_len, volumes.dtype).at[0].set(0.5).at[-1].set(0.5)
-    lhs = -jnp.einsum('bkw,kw,w->bk', x_win, dphi, quad) * dt
-    rhs = jnp.einsum('bkwf,kw,w->bkf', theta, phi, quad) * dt
+    lhs = -jnp.einsum('bkw,w->bk', x_win, wdphi)
+    rhs = jnp.einsum('bkwf,w->bkf', theta, wphi)
 
     w = ok_win.reshape(-1).astype(volumes.dtype)
     A = rhs.reshape(-1, rhs.shape[-1])

@@ -228,3 +228,78 @@ def test_weak_select_null_model_is_last_resort():
     g2 = int(weak_select_traced(jnp.asarray(cands2), jnp.asarray(theta),
                                 jnp.asarray(y2), jnp.asarray(w)))
     assert g2 == 0
+
+
+# ---------------------------------------------------------------------------
+# segment-constrained weak systems (tumor family: wsindy beyond the
+# reference's EQ_4-only gate — models/sindy.py::_fit_weak_tumor)
+
+def test_tiny_window_test_function_nondegenerate():
+    """window_len=3 with the default p=2 test function has phi' = 0 at
+    all three grid points (the weak equation degenerates to 0 = <phi,
+    theta>); the p=1 function must carry derivative signal."""
+    from insite_tpu.discovery.wsindy import _test_functions
+    _, _, dphi2 = _test_functions(1, 3, 10, p=2, all_starts=False)
+    assert np.abs(dphi2).max() == 0.0          # the degenerate case
+    _, phi1, dphi1 = _test_functions(1, 3, 10, p=1, all_starts=False)
+    assert np.abs(dphi1).max() > 0.0
+    assert phi1[0, 0] == 0.0 and phi1[0, -1] == 0.0   # compact support
+
+
+def test_weak_system_segment_mask_excludes_arm_crossings():
+    """A window is kept iff every transition it spans ran the target arm
+    and it fits inside the valid volume range."""
+    from insite_tpu.discovery.wsindy import weak_system
+    lib = PolynomialLibrary(n_inputs=2, degree=2, interaction_only=True)
+    B, T, w = 1, 10, 4
+    x = jnp.asarray(np.linspace(1.0, 2.0, T)[None, :])
+    statics = jnp.ones((B, 1))
+    # transitions: arm 1 on steps 2..6, arm 0 elsewhere
+    arms = np.zeros((B, T - 1), np.int32)
+    arms[0, 2:7] = 1
+    _, _, wt = weak_system(x, statics, jnp.asarray([T]), lib, 0.1,
+                           window_len=w, all_starts=True,
+                           step_arms=jnp.asarray(arms), arm=1, p=1)
+    wt = np.asarray(wt).reshape(B, -1)          # [B, K] window keep-mask
+    # window [s, s+4) spans transitions s..s+2 -> arm-1-valid s in {2,3,4}
+    expected = np.zeros(T - w + 1)
+    expected[2:5] = 1.0
+    np.testing.assert_array_equal(wt[0], expected)
+
+
+def test_weak_segments_recover_per_arm_decay():
+    """Piecewise constant-arm exponential decays: x' = -k_a * x with
+    k_0=0.3, k_1=1.2 on alternating segments; the stacked multi-scale
+    segment system + host solve recovers each arm's rate."""
+    from insite_tpu.discovery.wsindy import (weak_system_segments,
+                                             weak_stlsq_host)
+    rng = np.random.RandomState(0)
+    B, T, dt = 40, 60, 0.1
+    ks = np.array([0.3, 1.2])
+    x = np.zeros((B, T))
+    arms = np.zeros((B, T - 1), np.int32)
+    x[:, 0] = rng.uniform(2.0, 8.0, B)
+    seg_arm = rng.randint(0, 2, size=(B,))
+    seg_left = rng.randint(2, 7, size=(B,))
+    for j in range(T - 1):
+        flip = seg_left <= 0
+        seg_arm = np.where(flip, 1 - seg_arm, seg_arm)
+        seg_left = np.where(flip, rng.randint(2, 7, size=(B,)), seg_left)
+        arms[:, j] = seg_arm
+        x[:, j + 1] = x[:, j] * np.exp(-ks[seg_arm] * dt)
+        seg_left -= 1
+    statics = rng.uniform(0.5, 2.0, size=(B, 1))
+    lib = PolynomialLibrary(n_inputs=2, degree=2, interaction_only=True)
+    for a in range(2):
+        A, b, w = weak_system_segments(
+            jnp.asarray(x), jnp.asarray(statics), jnp.asarray(np.full(B, T)),
+            lib, dt, jnp.asarray(arms), a, window_lens=(8, 5, 3))
+        assert float(jnp.sum(w)) > 50, 'segment windows must exist'
+        c = weak_stlsq_host(np.asarray(A), np.asarray(b), np.asarray(w),
+                            0.05)
+        names = lib.feature_names(['x0', 'u0'])
+        cx = c[names.index('x0')]
+        np.testing.assert_allclose(cx, -ks[a], rtol=0.05)
+        # nothing else carries weight
+        others = [c[i] for i, nm in enumerate(names) if nm != 'x0']
+        assert np.abs(np.asarray(others)).max() < 0.05 * ks[a]

@@ -14,11 +14,14 @@ seed_gaps = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(seed_gaps)
 
 
-def test_counts_skip_wsindy_off_family():
+def test_counts_include_wsindy_tumor_cells():
+    """Round 5 extends the weak form to the tumor family
+    (models/sindy.py::_fit_weak_tumor), so wsindy x cancer_sim/EQ_5 are
+    real main-table cells now (the reference skips them, run.py:100-103)."""
     df = pd.DataFrame({'method_name': ['wsindy'], 'dataset_name': ['EQ_4_A'],
                        'seed': [0]})
     c = seed_gaps.counts(df)
-    assert c[('wsindy', 'cancer_sim')] is None     # reference skip
+    assert c[('wsindy', 'cancer_sim')] == 0
     assert c[('wsindy', 'EQ_4_A')] == 1
 
 

@@ -192,6 +192,14 @@ def main():
                         'to wait out before the first dispatch')
     p.add_argument('--log', default='logs/queue_r5.log')
     p.add_argument('--vec-cap', type=int, default=2700)
+    p.add_argument('--vec-chunk', type=int, default=5,
+                   help='max seeds per vectorized dispatch (neural vec '
+                        'columns honor --seed-start; the EDCT decoder fit '
+                        'is seed-serial on device, so halving the seeds '
+                        'halves the fit time and keeps each dispatch '
+                        'inside the ~2100 s budget the rolling deadline '
+                        'allows). ODE vec columns ignore seed_start and '
+                        'run the full column regardless.')
     p.add_argument('--std-cap', type=int, default=2100)
     p.add_argument('--std-chunk', type=int, default=8)
     p.add_argument('--min-budget', type=int, default=600)
@@ -263,10 +271,20 @@ def main():
                 if t < args.min_budget:
                     log(qlog, 'window too small for a vec column; stopping')
                     break
-                log(qlog, f'vec {m} {ds} (n={n}, budget {t}s)')
+                if m in ('ct', 'crn', 'edct', 'rmsn', 'gnet'):
+                    # neural vec columns honor seed_start: dispatch the
+                    # first missing consecutive range, chunked
+                    vstart, vk = start, min(k, args.vec_chunk)
+                else:
+                    # ODE vec columns always run seeds 0..S-1
+                    vstart, vk = 0, 10
+                log(qlog, f'vec {m} {ds} seeds {vstart}+{vk} (n={n}, '
+                          f'budget {t}s)')
                 rc = run_stage([sys.executable, 'run.py', '--vectorized',
                                 '--isolate', '--methods', m,
-                                '--datasets', ds, '--seeds', '10',
+                                '--datasets', ds,
+                                '--seed-start', str(vstart),
+                                '--seeds', str(vk),
                                 '--epochs', str(args.epochs), '--no-debug'],
                                t, qlog)
                 after = count_cell(m, ds)
