@@ -143,8 +143,44 @@ def _stage_rngs(seeds):
     return pair[:, 1], pair[:, 0]
 
 
+def _probe_fit_memory(run, params, stacked_train, carry_rngs, path):
+    """AOT-compile the three column-fit formulations (vmap over seeds,
+    lax.map over seeds, single-seed host-loop body) and append each one's
+    XLA `memory_analysis()` to `path` as a JSON line, WITHOUT executing.
+    The vec-EDCT crash postmortem (VERDICT r4 #2, tools/edct_hbm.py)
+    needs measured HBM budgets per formulation: compilation runs on the
+    host, so this is safe even for the program that faults the worker."""
+    import json
+    import time as _time
+    tm = jax.tree_util.tree_map
+    n_seeds = len(jax.tree_util.tree_leaves(carry_rngs)[0])
+    one = tm(lambda a: a[0], (params, stacked_train, carry_rngs))
+    variants = {
+        'vmap': lambda: jax.jit(jax.vmap(run)).lower(
+            params, stacked_train, carry_rngs),
+        'laxmap': lambda: jax.jit(lambda ps, d, rs: jax.lax.map(
+            lambda a: run(*a), (ps, d, rs))).lower(
+                params, stacked_train, carry_rngs),
+        'host1': lambda: jax.jit(run).lower(*one),
+    }
+    for name, lower in variants.items():
+        rec = {'variant': name, 'n_seeds': n_seeds,
+               'backend': jax.default_backend()}
+        t0 = _time.perf_counter()
+        try:
+            ma = lower().compile().memory_analysis()
+            for attr in dir(ma):
+                if attr.endswith('_in_bytes'):
+                    rec[attr] = int(getattr(ma, attr))
+        except Exception as e:                      # noqa: BLE001
+            rec['error'] = f'{type(e).__name__}: {e}'[:400]
+        rec['compile_s'] = round(_time.perf_counter() - t0, 1)
+        with open(path, 'a') as f:
+            f.write(json.dumps(rec) + '\n')
+
+
 def _fit_br_stage(net, stacked_train, tc, seeds, mesh=None,
-                  seed_serial=False):
+                  seed_serial=False, compile_probe=''):
     """Init + train one BR stage (VariationalLSTM/transformer +
     BRTreatmentOutcomeHead) for a whole seed column as ONE vmapped
     two-optimizer dispatch.  Returns (pred_params, predict) where
@@ -152,18 +188,22 @@ def _fit_br_stage(net, stacked_train, tc, seeds, mesh=None,
     jitted.  `stacked_train` is the [S, N, ...] data dict (already
     placed/sharded by the caller).
 
-    ``seed_serial=True`` runs the column fit as ``lax.map`` over the seed
-    axis instead of ``vmap``: still ONE compiled dispatch over the stacked
-    column, but the seeds execute serially on device, so the program body
-    (and its training transients) is exactly the proven S=1 standard-path
-    program.  This is the EDCT decoder-stage fix: its *vmapped* column fit
-    hard-faulted the v5e TPU worker at 10, 5 AND 2 stacked seeds
-    (logs/queue_r4e.log 17:55/22:26; encoder fit + S=1 eval executables
-    ran clean, isolating the decoder fit), so the vmapped two-optimizer
-    cross-attention program itself is what the worker cannot execute —
-    seed-serial sidesteps the vmapped program entirely while keeping the
-    one-compile / one-dispatch column economics. Ignored under a `mesh`
-    (the mesh path shards the seed axis across chips)."""
+    ``seed_serial=True`` runs the column fit as a HOST loop over one
+    jitted S=1 executable (compile paid once, reused for every seed): the
+    per-seed program is the literal proven standard-path program, with no
+    vmap/scan wrapper around the two-optimizer training loop at all.
+    This is the EDCT decoder-stage fix, round 3 of the elimination:
+    the *vmapped* column fit hard-faulted the v5e TPU worker at 10, 5
+    AND 2 stacked seeds (logs/queue_r4e.log 17:55/22:26), and the first
+    fix attempt — ``lax.map`` over the seed axis, i.e. the same S=1 body
+    scan-wrapped on device — STILL faulted (logs/queue_r5.log 08:17-08:39,
+    crash surfacing at the next blocking device_get in the encoder eval,
+    line 538), so the failure is not the training transients' footprint
+    but the wrapped mega-program itself (epochs-scan x batches-scan inside
+    a seed scan).  A host loop sidesteps every wrapper while keeping the
+    column economics that matter (one compile, one process, one tunnel
+    warmup).  Ignored under a `mesh` (the mesh path shards the seed axis
+    across chips)."""
     from insite_tpu.models.nn.training import (make_br_train_fn,
                                                merge_by_mask,
                                                treatment_head_mask)
@@ -186,10 +226,18 @@ def _fit_br_stage(net, stacked_train, tc, seeds, mesh=None,
     mask = treatment_head_mask(
         jax.tree_util.tree_map(lambda a: a[0], params))
     run = make_br_train_fn(apply_fn, tc, mask)
+    if compile_probe and mesh is None:
+        _probe_fit_memory(run, params, stacked_train, carry_rngs,
+                          compile_probe)
     if seed_serial and mesh is None:
-        params, ema = jax.jit(lambda ps, d, rs: jax.lax.map(
-            lambda a: run(*a), (ps, d, rs)))(params, stacked_train,
-                                             carry_rngs)
+        run_one = jax.jit(run)
+        outs = []
+        for s in range(len(seeds)):
+            take = jax.tree_util.tree_map(lambda a: a[s], (
+                params, stacked_train, carry_rngs))
+            outs.append(run_one(*take))
+        params, ema = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *outs)
     else:
         params, ema = jax.jit(jax.vmap(run))(params, stacked_train,
                                              carry_rngs)
@@ -422,9 +470,12 @@ def vectorized_enc_dec_sweep(method: str, dataset_name: str,
     seed-serial eval (seed_chunk=1; logs/queue_r4e.log 17:55 and 22:26 —
     the fault surfaces at the next blocking device_get, but the encoder
     fit and the S=1 eval executable had both already run clean, isolating
-    the decoder column fit), so the decoder fit now runs as ONE
-    ``lax.map`` dispatch instead (`_fit_br_stage(seed_serial=True)`):
-    the per-seed program body is the proven standard-path S=1 program.
+    the decoder column fit), and a ``lax.map``-over-seeds rewrite of the
+    fit faulted identically (logs/queue_r5.log 08:17-08:39), so the
+    decoder fit now runs as a HOST loop over one jitted S=1 executable
+    (`_fit_br_stage(seed_serial=True)`): the per-seed program is the
+    proven standard-path program with no device-side wrapper, compile
+    reused across seeds.
     """
     assert method in ('crn', 'edct')
     if seed_block and 0 < seed_block < n_seeds and mesh is None:
