@@ -56,7 +56,10 @@ def main():
         if args.protocol:
             fps = _read_sweep_fingerprints(path)
             bad = [fp for fp in fps
-                   if any(fp.get(k) != v for k, v in PROTOCOL.items())]
+                   if any(fp.get(k) != v for k, v in PROTOCOL.items())
+                   or fp.get('model_overrides')]  # hparam-variant sweeps
+                   # (ref_tuned preset, basin experiments) are not
+                   # main-table evidence even at protocol scale
             if bad:
                 # a log can hold several appended sweeps; any off-protocol
                 # fingerprint means some rows in it are off-protocol

@@ -43,6 +43,11 @@ def protocol_df(log_glob='logs/run-*.txt'):
         if any(any(fp.get(k) != v for k, v in PROTOCOL.items())
                for fp in fps):
             continue
+        # hparam-variant sweeps (ref_tuned preset, basin experiments) are
+        # not main-table evidence even at protocol scale: newest-wins
+        # dedup must never let them shadow the honest default-hparam rows
+        if any(fp.get('model_overrides') for fp in fps):
+            continue
         d = df_from_log(path, with_ts=True)
         if not d.empty:
             frames.append(d)
