@@ -45,6 +45,8 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
 
+    if os.path.exists(args.jsonl):   # stale records skew stage labels
+        os.remove(args.jsonl)
     from insite_tpu.harness import vectorized_neural as vn
     vn._fit_br_stage = functools.partial(vn._fit_br_stage,
                                          compile_probe=args.jsonl)
