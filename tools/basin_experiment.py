@@ -44,6 +44,8 @@ def main():
     p.add_argument('--alphas', type=float, nargs='+', default=[0.001, 0.0])
     p.add_argument('--dataset', default='EQ_4_D')
     p.add_argument('--platform', default='cpu', choices=('cpu', 'tpu'))
+    p.add_argument('--smoke', action='store_true',
+                   help='tiny cohorts/epochs — plumbing validation only')
     args = p.parse_args()
 
     import jax
@@ -61,6 +63,10 @@ def main():
         for method in args.methods:
             mo = {method: {'alpha': alpha}}
             cfg = RunConfig(model_overrides=mo)
+            if args.smoke:
+                cfg.epochs = 1
+                cfg.train_samples, cfg.val_samples, cfg.test_samples = \
+                    60, 10, 10
             logger.info('[Sweep config] ' + json.dumps({
                 'experiment': 'BASIN_EXPERIMENT', 'epochs': cfg.epochs,
                 'train_samples': cfg.train_samples,
@@ -78,6 +84,10 @@ def main():
                 except Exception as e:              # noqa: BLE001
                     logger.info(f'[Exp errored] {type(e).__name__}: {e}')
                     continue
+                r.setdefault('dataset_name', args.dataset)
+                r.setdefault('method_name', method)
+                r.setdefault('seed', seed)
+                r.setdefault('domain_conf', 2.0)
                 r['alpha_override'] = alpha
                 r['seconds_taken'] = round(time.time() - t0, 1)
                 logger.info(f'[Exp evaluation complete] {r}')
