@@ -58,3 +58,24 @@ def test_plan_groups_consecutive_missing_runs(tmp_path, capsys, monkeypatch):
            if l.startswith('EQ_4_A')]
     # missing: 0-1, 4-6, 8-9 -> three consecutive ranges
     assert out == ['EQ_4_A 0 2', 'EQ_4_A 4 3', 'EQ_4_A 8 2']
+
+
+def test_protocol_df_rejects_hparam_variant_sweeps(tmp_path):
+    """A sweep whose fingerprint carries non-empty model_overrides
+    (ref_tuned preset, basin experiments) is NOT main-table evidence,
+    even at protocol scale: newest-wins dedup must never let variant
+    rows shadow the honest default-hparam rows."""
+    row = ("{'encoder_test_rmse_orig': 0.5, 'method': 'ct', 'seed': 0, "
+           "'errored': False, 'dataset_name': 'EQ_4_D', "
+           "'method_name': 'ct', 'domain_conf': 2.0}")
+    proto = ('{"epochs": 100, "train_samples": 1000, "val_samples": 100, '
+             '"test_samples": 100, "model_overrides": %s}')
+    for name, mo in (('plain', '{}'),
+                     ('variant', '{"ct": {"alpha": 0.001}}')):
+        with open(tmp_path / f'run-{name}.txt', 'w') as f:
+            f.write(f'2026-08-20 10:00:00,000 INFO [Sweep config] '
+                    f'{proto % mo}\n')
+            f.write(f'2026-08-20 10:00:01,000 INFO '
+                    f'[Exp evaluation complete] {row}\n')
+    df = seed_gaps.protocol_df(log_glob=str(tmp_path / 'run-*.txt'))
+    assert len(df) == 1          # only the default-hparam sweep survives
