@@ -65,6 +65,17 @@ def main():
                         'the single-client TPU tunnel — safe to run in '
                         'parallel with a TPU job')
     args = p.parse_args()
+    # repo-local persistent compilation cache (same as bench.py): sweep
+    # chunks are separate processes and the neural training programs
+    # compile in minutes but run in seconds — without this every queue
+    # chunk re-pays the compile on the same shapes
+    import os as _os
+    _cache = _os.environ.setdefault(
+        'JAX_COMPILATION_CACHE_DIR',
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      '.jax_cache'))
+    import jax as _jax
+    _jax.config.update('jax_compilation_cache_dir', _cache)
     if args.platform == 'cpu':
         # must flip the already-imported jax config: the container's
         # sitecustomize registers the remote-TPU plugin at startup, so
